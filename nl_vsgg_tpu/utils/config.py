@@ -1,0 +1,146 @@
+"""Typed configuration system.
+
+Mirrors every flag of the reference's global easydict singleton
+(/root/reference/lib/config.py:8-59 and configs/nl_vsgg_config.yml) but as an
+immutable dataclass: configs are explicit values passed down the stack, never
+import-time global state. YAML merging keeps the reference's type-coercion
+behavior (lib/config.py:62-94) so the shipped config files remain drop-in.
+
+TPU-specific additions live in their own namespace fields (mesh shape, dtype
+policy, bucketing) so reference configs parse unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+@dataclass(frozen=True)
+class BucketConfig:
+    """Static-shape padding buckets for jit stability.
+
+    Every video is padded to the smallest bucket that fits it; each bucket
+    compiles once. Shapes follow AG statistics (tens of frames, <=10 boxes
+    per frame).
+    """
+
+    max_frames: tuple[int, ...] = (8, 16, 32, 64, 128)
+    max_boxes: tuple[int, ...] = (16, 32, 64, 128, 256)
+    max_rels: tuple[int, ...] = (16, 32, 64, 128, 256)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. `data` shards videos; `model` shards wide layers."""
+
+    data: int = -1  # -1 = all devices
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- reference flags (lib/config.py:10-59) ---
+    gpu_id: int = 0
+    multi_gpus: bool = False
+    num_workers: int = 4
+    mode: str = "sgdet"  # sgdet | sgcls | predcls
+    transformer_mode: str = "wk"
+    model_path: str = ""
+    optimizer: str = "adamw"
+    lr: float = 1e-5
+    text_encoder_lr: float = 1e-5
+    lr_backbone: float = 1e-5
+    schedule: str = "step"
+    nepoch: int = 10
+    enc_layer: int = 1
+    dec_layer: int = 3
+    is_wks: bool = True
+    bce_loss: bool = True
+    feat_dim: int = 2048
+    pseudo_way: int = 0
+    remove_one_frame_video: bool = True
+    union_box_feature: bool = True
+    loss: str = "BCE"
+    teacher_model_path: str = ""
+    save_path: str = ""
+    data_path: str = ""
+    datasize: str = "large"
+    ckpt: str | None = None
+    ws_object_bbox_path: str | None = None
+    pseudo_localized_SG_path: str = "datasets/AG/final_ag_data_w_neg.pkl"
+    exp_name: str = "defaultExp"
+    tensorboard_name: str = "runs/scalar_example"
+    lr_drop: int = 60
+    fraction_warmup_steps: float = 0.01
+
+    # --- TPU-native additions ---
+    seed: int = 1000
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    param_dtype: str = "float32"
+    grad_clip_norm: float = 5.0  # tools/train_STTran.py:193
+    weight_decay: float = 1e-2  # lib/AdamW.py default
+    batch_videos: int = 1  # videos per step per device (reference: 1 total)
+    frame_features_path: str = "datasets/AG/frame_features"
+    glove_path: str = ""  # optional glove.6B.200d.txt; deterministic fallback
+    buckets: BucketConfig = field(default_factory=BucketConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    use_native_io: bool = True  # C++ fast path for host data packing
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+def _coerce(old: Any, new: Any, key: str) -> Any:
+    """Reference-compatible type coercion (lib/config.py:70-94)."""
+    if old is None or new is None:
+        return None if new == "None" else new
+    if isinstance(old, bool):
+        if isinstance(new, bool):
+            return new
+        if isinstance(new, str):
+            return new.lower() == "true"
+        return bool(new)
+    if isinstance(old, (tuple, list)) and isinstance(new, str):
+        return tuple(int(v) for v in new.split(","))
+    if type(old) is type(new):
+        return new
+    if isinstance(old, float) and isinstance(new, int):
+        return float(new)
+    if isinstance(old, int) and isinstance(new, float) and new.is_integer():
+        return int(new)
+    if isinstance(old, str):
+        return str(new)
+    raise ValueError(f"Type mismatch ({type(old)} vs {type(new)}) for config key: {key}")
+
+
+def load_config(path: str | None = None, overrides: dict[str, Any] | None = None) -> Config:
+    """Build a Config from an optional YAML file plus keyword overrides.
+
+    Unknown YAML keys are ignored with the same permissiveness as the
+    reference's merge (its KeyError check is commented out, lib/config.py:67-68).
+    """
+    cfg = Config()
+    merged: dict[str, Any] = {}
+    if path:
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        for k, v in raw.items():
+            if hasattr(cfg, k):
+                merged[k] = _coerce(getattr(cfg, k), v, k)
+    if overrides:
+        for k, v in overrides.items():
+            if not hasattr(cfg, k):
+                raise KeyError(f"unknown config key: {k}")
+            if k in ("buckets", "mesh"):
+                merged[k] = v
+            else:
+                merged[k] = _coerce(getattr(cfg, k), v, k)
+    return cfg.replace(**merged)
