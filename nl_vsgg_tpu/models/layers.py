@@ -1,0 +1,190 @@
+"""Masked transformer building blocks and mask-aware normalization.
+
+These replace the reference's pad_sequence/python-window machinery
+(lib/transformer_wk.py:130-217, lib/dsg_detr.py:536-564) with *attention-mask
+algebra over flat token arrays*: instead of materializing [len, batch, dim]
+grids per frame/window/tracklet, every structural grouping (same frame, same
+sliding window, same tracklet) is expressed as a boolean (Q, K) allow-matrix.
+That keeps shapes static, lets XLA fuse the whole stack, and makes the models
+trivially batchable/shardable.
+
+Numerics match torch:
+  * MultiheadAttention: joint softmax over heads' scaled dot products with
+    -inf masking, attention-probability dropout, separate q/k/v + out proj.
+  * Post-norm encoder layer (attn -> add -> LN -> FFN -> add -> LN) as in
+    lib/transformer_wk.py:20-30; decoder layer with LN only after attention
+    (lib/transformer_wk.py:49-58).
+  * MaskedBatchNorm reproduces torch BatchNorm over only the *valid* rows, so
+    padding can never pollute batch statistics (the reference has no padding
+    at norm boundaries; masking restores that exactly).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+class MaskedMHA(nn.Module):
+    """Torch-parity multi-head attention with an explicit (Q, K) allow mask."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, q_in: jnp.ndarray, k_in: jnp.ndarray, v_in: jnp.ndarray,
+                 allow: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        E, H = self.embed_dim, self.num_heads
+        D = E // H
+        q = nn.Dense(E, name="q_proj")(q_in)
+        k = nn.Dense(E, name="k_proj")(k_in)
+        v = nn.Dense(E, name="v_proj")(v_in)
+
+        def split(x):  # (..., L, E) -> (..., H, L, D)
+            return jnp.moveaxis(x.reshape(*x.shape[:-1], H, D), -2, -3)
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum("...hqd,...hkd->...hqk", q, k) / jnp.sqrt(D).astype(q.dtype)
+        logits = jnp.where(allow[..., None, :, :], logits, NEG_INF)
+        probs = nn.softmax(logits, axis=-1)
+        # rows with zero allowed keys produce uniform garbage; zero them out
+        any_key = allow.any(axis=-1)[..., None, :, None]
+        probs = jnp.where(any_key, probs, 0.0)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("...hqk,...hkd->...hqd", probs, v)
+        out = jnp.moveaxis(out, -3, -2).reshape(*q_in.shape[:-1], E)
+        return nn.Dense(E, name="out_proj")(out)
+
+
+class MaskedEncoderLayer(nn.Module):
+    """Post-norm encoder layer (lib/transformer_wk.py:5-30)."""
+
+    embed_dim: int
+    num_heads: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, allow: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout, name="self_attn")(
+            x, x, x, allow, deterministic)
+        x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(name="norm1")(x)
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = nn.Dropout(self.dropout)(nn.relu(h), deterministic=deterministic)
+        h = nn.Dense(self.embed_dim, name="linear2")(h)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(name="norm2")(x)
+
+
+class MaskedDecoderLayer(nn.Module):
+    """Windowed temporal layer: q/k carry position embeds, LN after attention
+    only (lib/transformer_wk.py:33-58)."""
+
+    embed_dim: int
+    num_heads: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pos: jnp.ndarray, allow: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout, name="multihead2")(
+            x + pos, x + pos, x, allow, deterministic)
+        x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(name="norm3")(x)
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = nn.Dropout(self.dropout)(nn.relu(h), deterministic=deterministic)
+        h = nn.Dense(self.embed_dim, name="linear2")(h)
+        return x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class TorchEncoderLayer(nn.Module):
+    """torch.nn.TransformerEncoderLayer (post-norm, relu) with an allow mask —
+    the building block of DSG-DETR (lib/dsg_detr.py:21-22, 109, 502-506)."""
+
+    embed_dim: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, allow: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout, name="self_attn")(
+            x, x, x, allow, deterministic)
+        x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(name="norm1")(x)
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = nn.Dropout(self.dropout)(nn.relu(h), deterministic=deterministic)
+        h = nn.Dense(self.embed_dim, name="linear2")(h)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(name="norm2")(x)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid rows only; torch-compatible running stats.
+
+    Normalizes over all axes except the last (features); `mask` marks valid
+    rows. With `use_running_average=True` behaves like torch eval mode.
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 use_running_average: bool = False) -> jnp.ndarray:
+        C = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(C))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(C))
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = mask.astype(x.dtype)
+            while m.ndim < x.ndim:
+                m = m[..., None]
+            count = jnp.maximum(m.sum(), 1.0)
+            red = tuple(range(x.ndim - 1))
+            mean = (x * m).sum(axis=red) / count
+            var = (((x - mean) ** 2) * m).sum(axis=red) / count  # biased, like torch
+            if not self.is_initializing():
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        return scale * (x - mean) * (1.0 / jnp.sqrt(var + self.epsilon)) + bias
+
+
+def sinusoidal_position_table(max_len: int, d_model: int) -> jnp.ndarray:
+    """DETR-style sinusoidal table (lib/dsg_detr.py:25-36)."""
+    position = jnp.arange(max_len)[:, None].astype(jnp.float32)
+    div = jnp.exp(jnp.arange(0, d_model, 2).astype(jnp.float32)
+                  * (-jnp.log(10000.0) / d_model))
+    pe = jnp.zeros((max_len, d_model))
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div))
+    return pe
+
+
+def mlp(features: list[int], activation: Callable = nn.relu) -> nn.Module:
+    """Simple FFN used by DSG-DETR heads (lib/dsg_detr.py:66-78)."""
+
+    class _MLP(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i, f in enumerate(features):
+                x = nn.Dense(f)(x)
+                if i < len(features) - 1:
+                    x = activation(x)
+            return x
+
+    return _MLP()

@@ -1,0 +1,226 @@
+"""STTran relation model, TPU-native.
+
+Re-implements the semantics of lib/sttran.py (ObjectClassifier + STTran) and
+lib/transformer_wk.py (transformer_wk, the shipped `wk` variant) as one
+jit-compilable flax module over a padded Entry pytree.
+
+Key redesign vs the reference (math preserved, shapes made static):
+
+  * transformer_wk materializes per-frame [l, b, 1936] grids and python-loops
+    over b-1 sliding windows of 2 frames (lib/transformer_wk.py:130-217).
+    Each relation participates in at most two windows — once as a "former"
+    (window = its own frame) and once as a "latter" (window = previous frame)
+    token, and the windows are *independent* 3-layer decoder runs. We
+    therefore duplicate the R relation tokens into 2R (former ++ latter)
+    streams, attach each token its window id and slot id, and run the decoder
+    once with the allow-mask `window[q] == window[k]`. This is *exact*: a
+    token's attention set is precisely the relations of its window's two
+    frames, with the 2-slot learned frame embedding added to q/k per layer.
+    The output per relation is its latter-stream row (former for frame 0),
+    matching 'latter' fusion (lib/transformer_wk.py:209-215); 'both' averages
+    the two streams (lib/transformer_wk.py:197-207).
+  * Empty-frame dropping (retain_line, lib/transformer_wk.py:145-150) is
+    subsumed by masking: empty frames contribute no valid tokens.
+  * Single-frame videos skip the temporal decoder and return the spatial
+    encoder output (lib/transformer_wk.py:187-188) — here a `where` on
+    num_frames.
+  * The 27x27 spatial-mask conv stack and 1x1 union-feature conv run in NHWC;
+    the flattening order into vr_fc is therefore (H, W, C) instead of torch's
+    (C, H, W) — a fixed permutation for weight converters.
+
+Object classifier (weak-supervision branch, lib/sttran.py:173-184): GloVe
+soft-embedding of the detector distribution, BatchNorm'd box position embed,
+2376 -> 1024 -> 37 decoder. BatchNorm runs masked so padding never leaks into
+statistics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.entry import Entry
+from ..ops.boxes import center_size
+from .layers import MaskedBatchNorm, MaskedDecoderLayer, MaskedEncoderLayer
+
+
+def _const_init(value: np.ndarray):
+    return lambda key, shape, dtype=jnp.float32: jnp.asarray(value, dtype)
+
+
+class ObjectClassifierWK(nn.Module):
+    """Weak-supervision object head (lib/sttran.py:20-51, 173-184)."""
+
+    num_classes: int = 37
+    embed_init: Any = nn.initializers.normal(1.0)
+
+    @nn.compact
+    def __call__(self, entry: Entry, train: bool = False) -> jnp.ndarray:
+        # (N, 36) distribution @ (36, 200) GloVe table
+        embed_w = self.param("obj_embed", self.embed_init, (self.num_classes - 1, 200))
+        obj_embed = entry.distribution @ embed_w
+        pos = MaskedBatchNorm(momentum=0.01 / 10.0, name="pos_bn")(
+            center_size(entry.boxes), entry.box_mask, use_running_average=not train)
+        pos = nn.Dense(128, name="pos_fc")(pos)
+        pos = nn.Dropout(0.1)(nn.relu(pos), deterministic=not train)
+        obj_features = jnp.concatenate([entry.features, obj_embed, pos], axis=-1)
+        h = nn.Dense(1024, name="decoder_fc1")(obj_features)
+        h = MaskedBatchNorm(name="decoder_bn")(h, entry.box_mask,
+                                               use_running_average=not train)
+        logits = nn.Dense(self.num_classes, name="decoder_fc2")(nn.relu(h))
+        return jnp.where(entry.box_mask[..., None], logits, 0.0)
+
+
+class SpatialMaskConv(nn.Module):
+    """2 -> 256 conv tower over 27x27 masks (lib/sttran.py:337-345), NHWC."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(128, (7, 7), strides=2, padding=((3, 3), (3, 3)), name="conv1")(x)
+        x = nn.relu(x)
+        x = MaskedBatchNorm(momentum=0.01, name="bn1")(x, mask, use_running_average=not train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = nn.Conv(256, (3, 3), strides=1, padding=((1, 1), (1, 1)), name="conv2")(x)
+        x = nn.relu(x)
+        x = MaskedBatchNorm(momentum=0.01, name="bn2")(x, mask, use_running_average=not train)
+        return x
+
+
+class STTranTransformer(nn.Module):
+    """Spatial encoder + windowed temporal decoder (lib/transformer_wk.py)."""
+
+    embed_dim: int = 1936
+    num_heads: int = 8
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    enc_layers: int = 1
+    dec_layers: int = 3
+    mode: str = "latter"  # 'latter' | 'both'
+
+    @nn.compact
+    def __call__(self, rel_features: jnp.ndarray, im_idx: jnp.ndarray,
+                 rel_mask: jnp.ndarray, num_frames: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        det = not train
+        R = rel_features.shape[-2]
+
+        # ---- spatial encoder: attention within the same frame ----
+        same_frame = im_idx[..., :, None] == im_idx[..., None, :]
+        allow_s = same_frame & rel_mask[..., :, None] & rel_mask[..., None, :]
+        local = rel_features
+        for i in range(self.enc_layers):
+            local = MaskedEncoderLayer(self.embed_dim, self.num_heads,
+                                       self.dim_feedforward, self.dropout,
+                                       name=f"enc_{i}")(local, allow_s, det)
+        local = jnp.where(rel_mask[..., None], local, 0.0)
+
+        # ---- temporal decoder over duplicated former/latter streams ----
+        cat = partial(jnp.concatenate, axis=-1)
+        window = cat([im_idx, im_idx - 1])                      # (2R,)
+        slot = cat([jnp.zeros_like(im_idx), jnp.ones_like(im_idx)])
+        last_window = num_frames - 2  # windows are 0 .. F-2
+        valid = cat([rel_mask & (im_idx <= last_window),         # former
+                     rel_mask & (im_idx >= 1)])                  # latter
+        allow_t = (window[..., :, None] == window[..., None, :]) \
+            & valid[..., :, None] & valid[..., None, :]
+
+        pe = self.param("position_embedding", nn.initializers.uniform(scale=1.0),
+                        (2, self.embed_dim))
+        pos = pe[slot]
+        tokens = jnp.concatenate([local, local], axis=-2)        # (2R, D)
+        for i in range(self.dec_layers):
+            tokens = MaskedDecoderLayer(self.embed_dim, self.num_heads,
+                                        self.dim_feedforward, self.dropout,
+                                        name=f"dec_{i}")(tokens, pos, allow_t, det)
+        former, latter = tokens[..., :R, :], tokens[..., R:, :]
+
+        if self.mode == "both":
+            mid = 0.5 * (former + latter)
+            out = jnp.where((im_idx == 0)[..., None], former,
+                            jnp.where((im_idx == num_frames - 1)[..., None], latter, mid))
+        else:  # 'latter' (shipped config, lib/sttran.py:358)
+            out = jnp.where((im_idx == 0)[..., None], former, latter)
+        # single-frame videos: no windows exist -> spatial output passes through
+        out = jnp.where(num_frames > 1, out, local)
+        return jnp.where(rel_mask[..., None], out, 0.0)
+
+
+class STTran(nn.Module):
+    """Full STTran (lib/sttran.py:314-411) over a padded Entry.
+
+    Returns a dict: object `distribution` logits, `attention_distribution`
+    logits, sigmoided `spatial_distribution` / `contacting_distribution`
+    (+ raw logits for stable losses), and `global_output` rel embeddings.
+    """
+
+    mode: str = "sgdet"
+    attention_class_num: int = 3
+    spatial_class_num: int = 6
+    contact_class_num: int = 17
+    obj_classes: Sequence[str] = ()
+    enc_layer_num: int = 1
+    dec_layer_num: int = 3
+    feat_dim: int = 2048
+    transformer_fusion: str = "latter"
+    glove_obj36: np.ndarray | None = None  # (36, 200) for the classifier
+    glove_obj37: np.ndarray | None = None  # (37, 200) for semantic embeds
+
+    @nn.compact
+    def __call__(self, entry: Entry, train: bool = False) -> dict[str, jnp.ndarray]:
+        init36 = (_const_init(self.glove_obj36) if self.glove_obj36 is not None
+                  else nn.initializers.normal(1.0))
+        init37 = (_const_init(self.glove_obj37) if self.glove_obj37 is not None
+                  else nn.initializers.normal(1.0))
+        num_classes = max(len(self.obj_classes), 37)
+
+        out: dict[str, jnp.ndarray] = {}
+        if self.mode == "predcls":
+            pred_labels = entry.labels
+            obj_logits = None
+        else:  # sgdet weak-supervision branch (and sgcls train) share this head
+            obj_logits = ObjectClassifierWK(num_classes, init36,
+                                            name="object_classifier")(entry, train)
+            pred_labels = entry.labels
+            out["distribution"] = obj_logits
+        out["pred_labels"] = pred_labels
+        out["pred_scores"] = entry.scores
+
+        # ---- visual part (lib/sttran.py:380-388) ----
+        subj_rep = nn.Dense(512, name="subj_fc")(entry.features[..., entry.pair_idx[..., 0], :])
+        obj_rep = nn.Dense(512, name="obj_fc")(entry.features[..., entry.pair_idx[..., 1], :])
+        union_proj = nn.Conv(256, (1, 1), name="union_func1")(entry.union_feat)
+        mask_feat = SpatialMaskConv(name="spatial_conv")(entry.spatial_masks,
+                                                         entry.rel_mask, train)
+        vr = union_proj + mask_feat  # (R, 7, 7, 256)
+        vr = nn.Dense(512, name="vr_fc")(vr.reshape(*vr.shape[:-3], -1))
+        x_visual = jnp.concatenate([subj_rep, obj_rep, vr], axis=-1)
+
+        # ---- semantic part (lib/sttran.py:391-396): 37-row GloVe tables ----
+        embed1 = self.param("obj_embed", init37, (37, 200))
+        embed2 = self.param("obj_embed2", init37, (37, 200))
+        subj_cls = pred_labels[..., entry.pair_idx[..., 0]]
+        obj_cls = pred_labels[..., entry.pair_idx[..., 1]]
+        x_semantic = jnp.concatenate([embed1[subj_cls], embed2[obj_cls]], axis=-1)
+
+        rel_features = jnp.concatenate([x_visual, x_semantic], axis=-1)  # (R, 1936)
+
+        global_output = STTranTransformer(
+            embed_dim=rel_features.shape[-1], enc_layers=self.enc_layer_num,
+            dec_layers=self.dec_layer_num, mode=self.transformer_fusion,
+            name="glocal_transformer",
+        )(rel_features, entry.im_idx, entry.rel_mask, entry.num_frames, train)
+
+        out["global_output"] = global_output
+        out["attention_distribution"] = nn.Dense(
+            self.attention_class_num, name="a_rel_compress")(global_output)
+        s_logits = nn.Dense(self.spatial_class_num, name="s_rel_compress")(global_output)
+        c_logits = nn.Dense(self.contact_class_num, name="c_rel_compress")(global_output)
+        out["spatial_logits"] = s_logits
+        out["contacting_logits"] = c_logits
+        out["spatial_distribution"] = nn.sigmoid(s_logits)
+        out["contacting_distribution"] = nn.sigmoid(c_logits)
+        return out
