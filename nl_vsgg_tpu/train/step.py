@@ -1,0 +1,101 @@
+"""Jit-compiled train/eval steps over batched Entry pytrees.
+
+The reference steps on one video at a time (cuda_collate_fn,
+dataloader/wk_action_genome.py:622-627). Here a *batch of videos* is the unit:
+Entries are stacked on a leading axis and the per-video model is `vmap`ed, so
+the same compiled step serves batch=1 (reference semantics) and data-parallel
+batches sharded over the mesh's 'data' axis (parallel/mesh.py). Gradients
+average over videos; with the batch sharded, XLA inserts the cross-chip
+all-reduce automatically.
+
+BatchNorm note: the reference computes BN statistics per step over its single
+video. Under vmap each video gets its own statistics (identical math), and the
+running averages are updated with the across-video mean of the per-video
+statistics — which for batch=1 is exactly the reference update.
+
+The NaN/empty-video guard (lib/utils.py:3-12, applied per step in
+tools/train_STTran.py:191) is a branchless `where`: invalid steps leave
+params/opt_state/batch_stats untouched and bump `state.skipped`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..data.entry import Entry
+from ..models.losses import sttran_losses
+from .state import TrainState
+
+
+def stack_entries(entries: list[Entry]) -> Entry:
+    """Stack same-bucket Entries into a leading batch axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *entries)
+
+
+def make_train_step(model, tx, bce: bool = True) -> Callable:
+    """Returns train_step(state, batch: Entry[B, ...], rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch: Entry, rng: jax.Array):
+        n_videos = batch.num_frames.shape[0]
+        keys = jax.random.split(rng, n_videos)
+
+        def loss_fn(params):
+            def per_video(entry: Entry, key: jax.Array):
+                drop_rng, sample_rng = jax.random.split(key)
+                pred, updates = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    entry, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": drop_rng})
+                losses = sttran_losses(pred, entry, sample_rng, bce=bce)
+                return losses, updates["batch_stats"]
+
+            losses, new_stats = jax.vmap(per_video)(batch, keys)
+            mean_losses = jax.tree.map(jnp.mean, losses)
+            new_stats = jax.tree.map(lambda x: x.mean(0), new_stats)
+            return mean_losses["total"], (mean_losses, new_stats)
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        # check_valid_iter (lib/utils.py:3-12): skip on NaN loss / empty labels
+        finite = jnp.isfinite(total)
+        for g in jax.tree.leaves(grads):
+            finite &= jnp.isfinite(g).all()
+        has_boxes = batch.box_mask.any()
+        valid = finite & has_boxes
+
+        safe_grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+        updates, new_opt = tx.update(safe_grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+        def keep(new, old):
+            return jax.tree.map(lambda n, o: jnp.where(valid, n, o), new, old)
+
+        state = state.replace(
+            step=state.step + 1,
+            params=keep(new_params, state.params),
+            batch_stats=keep(new_stats, state.batch_stats),
+            opt_state=keep(new_opt, state.opt_state),
+            skipped=state.skipped + jnp.where(valid, 0, 1).astype(jnp.int32),
+        )
+        metrics = dict(losses, valid=valid.astype(jnp.float32))
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    """Returns eval_step(state, batch: Entry[B, ...]) -> pred dict[B, ...]."""
+
+    def eval_step(state: TrainState, batch: Entry):
+        def per_video(entry: Entry):
+            return model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                entry, train=False)
+
+        return jax.vmap(per_video)(batch)
+
+    return eval_step

@@ -1,0 +1,165 @@
+"""Train-layer tests: loss parity vs torch formulas, step mechanics, NaN
+guard, and the data+model-parallel step on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
+from nl_vsgg_tpu.models import losses as L
+from nl_vsgg_tpu.models.sttran import STTran
+from nl_vsgg_tpu.train import (create_train_state, make_optimizer,
+                               make_train_step, stack_entries)
+
+torch = pytest.importorskip("torch")
+
+FEAT = 64
+
+
+def _entry(rng, frames=5, objs=2, bb=24, br=16):
+    return make_synthetic_entry(rng, n_frames=frames, objs_per_frame=objs,
+                                bucket_boxes=bb, bucket_rels=br, feat_dim=FEAT)
+
+
+class TestLossParity:
+    """Masked losses == reference loop math (tools/train_STTran.py:148-186)
+    computed with torch on the valid rows."""
+
+    def _fake_pred(self, rng, entry):
+        R = entry.n_rels
+        N = entry.n_boxes
+        return {
+            "distribution": jnp.asarray(rng.standard_normal((N, 37)), jnp.float32),
+            "attention_distribution": jnp.asarray(rng.standard_normal((R, 3)), jnp.float32),
+            "spatial_logits": jnp.asarray(rng.standard_normal((R, 6)), jnp.float32),
+            "contacting_logits": jnp.asarray(rng.standard_normal((R, 17)), jnp.float32),
+        }
+
+    def test_bce_losses_match_torch(self, rng):
+        entry = _entry(rng)
+        pred = self._fake_pred(rng, entry)
+        out = L.sttran_losses(pred, entry, jax.random.key(0), bce=True)
+
+        bm = np.asarray(entry.box_mask)
+        rm = np.asarray(entry.rel_mask)
+        tt = lambda a: torch.as_tensor(np.asarray(a))
+
+        obj = torch.nn.functional.cross_entropy(
+            tt(pred["distribution"])[bm], tt(entry.labels)[bm].long())
+        np.testing.assert_allclose(out["object_loss"], obj.numpy(), rtol=1e-5)
+
+        # attention: synthetic GT has exactly one positive per valid rel, so
+        # the sampled label is deterministic
+        att_rows = rm & (np.asarray(entry.attention_gt).sum(-1) > 0)
+        att_label = np.asarray(entry.attention_gt).argmax(-1)[att_rows]
+        att = torch.nn.functional.cross_entropy(
+            tt(pred["attention_distribution"])[att_rows], torch.as_tensor(att_label).long())
+        np.testing.assert_allclose(out["attention_relation_loss"], att.numpy(), rtol=1e-5)
+
+        for key, logits, gt, C in [("spatial_relation_loss", pred["spatial_logits"],
+                                    entry.spatial_gt, 6),
+                                   ("contact_relation_loss", pred["contacting_logits"],
+                                    entry.contacting_gt, 17)]:
+            rows = rm & (np.asarray(gt).sum(-1) > 0)
+            ref = torch.nn.functional.binary_cross_entropy(
+                torch.sigmoid(tt(logits)[rows]), tt(gt)[rows])
+            np.testing.assert_allclose(out[key], ref.numpy(), rtol=1e-5)
+
+    def test_mlm_matches_torch(self, rng):
+        entry = _entry(rng)
+        pred = self._fake_pred(rng, entry)
+        out = L.sttran_losses(pred, entry, jax.random.key(0), bce=False)
+        rm = np.asarray(entry.rel_mask)
+        rows = rm & (np.asarray(entry.spatial_gt).sum(-1) > 0)
+        # torch MultiLabelMarginLoss wants index-list labels padded with -1
+        gt = np.asarray(entry.spatial_gt)[rows]
+        labels = -np.ones_like(gt, dtype=np.int64)
+        for i, row in enumerate(gt):
+            idx = np.where(row > 0)[0]
+            labels[i, :len(idx)] = idx
+        ref = torch.nn.MultiLabelMarginLoss()(
+            torch.as_tensor(np.asarray(pred["spatial_logits"])[rows]),
+            torch.as_tensor(labels))
+        np.testing.assert_allclose(out["spatial_relation_loss"], ref.numpy(), rtol=1e-5)
+
+    def test_attention_sampling_uniform_among_positives(self):
+        mh = jnp.asarray([[1.0, 0.0, 1.0]])
+        draws = np.array([int(L.sample_multi_hot(jax.random.key(i), mh)[0])
+                          for i in range(64)])
+        assert set(draws.tolist()) == {0, 2}
+
+    def test_padding_rows_do_not_contribute(self, rng):
+        entry = _entry(rng, bb=24, br=16)
+        pred = self._fake_pred(rng, entry)
+        out1 = L.sttran_losses(pred, entry, jax.random.key(0))
+        # poison the padding rows of the predictions
+        poisoned = {k: np.asarray(v).copy() for k, v in pred.items()}
+        poisoned["distribution"][~np.asarray(entry.box_mask)] = 1e6
+        for k in ("attention_distribution", "spatial_logits", "contacting_logits"):
+            poisoned[k][~np.asarray(entry.rel_mask)] = 1e6
+        out2 = L.sttran_losses({k: jnp.asarray(v) for k, v in poisoned.items()},
+                               entry, jax.random.key(0))
+        for k in out1:
+            np.testing.assert_allclose(out1[k], out2[k], rtol=1e-6)
+
+
+class TestTrainStep:
+    def _setup(self, rng, batch=2, lr=1e-4):
+        entries = [_entry(rng) for _ in range(batch)]
+        model = STTran(mode="sgdet", feat_dim=FEAT)
+        tx = make_optimizer(lr=lr)
+        state, tx = create_train_state(model, entries[0], jax.random.key(0), tx=tx)
+        step = jax.jit(make_train_step(model, tx))
+        return state, step, stack_entries([jax.tree.map(jnp.asarray, e) for e in entries])
+
+    def test_loss_decreases(self, rng):
+        # object CE is the stable component (Adam's first steps overshoot the
+        # tiny 3-way attention head by design; the reference trains at 1e-5)
+        state, step, batch = self._setup(rng)
+        first = None
+        for i in range(10):
+            state, m = step(state, batch, jax.random.key(i))
+            if first is None:
+                first = float(m["object_loss"])
+        assert float(m["object_loss"]) < first
+        assert np.isfinite(float(m["total"]))
+        assert int(state.skipped) == 0
+        assert int(state.step) == 10
+
+    def test_empty_video_skipped(self, rng):
+        state, step, batch = self._setup(rng)
+        p0 = state.params
+        empty = jax.tree.map(jnp.zeros_like, batch)
+        state, m = step(state, empty, jax.random.key(0))
+        assert int(state.skipped) == 1
+        assert float(m["valid"]) == 0.0
+        # params untouched (lib/utils.py NaN/empty guard semantics)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), p0, state.params)
+
+    def test_multichip_data_model_parallel(self, rng):
+        from nl_vsgg_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated
+        assert len(jax.devices()) == 8
+        mesh = make_mesh(data=4, model=2)
+
+        entries = [_entry(rng) for _ in range(8)]
+        model = STTran(mode="sgdet", feat_dim=FEAT)
+        tx = make_optimizer(lr=1e-3)
+        state, tx = create_train_state(model, entries[0], jax.random.key(0), tx=tx)
+        rep = replicated(mesh)
+        state = state.replace(
+            params=jax.tree.map(jax.device_put, state.params,
+                                param_shardings(mesh, state.params)),
+            batch_stats=jax.tree.map(lambda x: jax.device_put(x, rep), state.batch_stats),
+            opt_state=jax.tree.map(lambda x: jax.device_put(x, rep)
+                                   if hasattr(x, "shape") else x, state.opt_state),
+            step=jax.device_put(state.step, rep),
+            skipped=jax.device_put(state.skipped, rep),
+        )
+        batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), batch_sharding(mesh)),
+                             stack_entries(entries))
+        step = jax.jit(make_train_step(model, tx))
+        with mesh:
+            state, m = step(state, batch, jax.random.key(0))
+        assert np.isfinite(float(m["total"]))
+        assert int(state.step) == 1
