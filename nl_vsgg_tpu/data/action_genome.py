@@ -1,0 +1,196 @@
+"""Action Genome dataset readers (train pseudo-labels + test GT).
+
+Mirrors dataloader/wk_action_genome.py's AG_Train (:17-170) and AG_Test
+(:172-318) semantics over the same pickle artifacts, without torch:
+
+  * AGTrain: joins `final_ag_data_w_neg.pkl` (per-frame pseudo annotations)
+    with `triplets_LLM4SGG.pkl` (frame lists) and `ag_img_info_train.pkl`
+    ([H, W, scale] per video); videos absent from the frame-list file are
+    skipped (:118). Dict insertion order is preserved (it defines epoch
+    order in the reference).
+  * AGTest: real GT from `person_bbox.pkl` + `object_bbox_and_relationship
+    (_filtersmall).pkl`; frames without a person box are dropped, and only
+    videos with >= 3 remaining frames are kept — with the reference's exact
+    counter quirk that 2-frame videos land in the "non person" tally
+    (:296-302). xywh -> xyxy conversion and class/relationship name -> index
+    mapping match :283-291. Relationship indices are stored as numpy arrays
+    (the reference uses torch tensors; the evaluator accepts both).
+
+Both classes expose `video_list`, `gt_annotations`, `img_info` and are
+plain-python iterables — the effective batch is one video, as in the
+reference's identity collate (cuda_collate_fn :622-627). Device batching
+happens later by stacking padded Entries (train/step.py).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Iterator
+
+import numpy as np
+
+from . import schema
+
+
+def _load_pickle(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+class AGTrain:
+    """Weakly-supervised train split (AG_Train, wk_action_genome.py:17-170)."""
+
+    def __init__(self, data_path: str, pseudo_label_path: str | None = None,
+                 img_info_path: str | None = None, frame_list_path: str | None = None,
+                 assets_dir: str | None = None, remove_one_frame_video: bool = True):
+        tax = schema.load_taxonomy(assets_dir)
+        self.object_classes = list(tax.object_classes)
+        self.relationship_classes = list(tax.relationship_classes)
+        self.relationship_classes_gt = list(tax.relationship_classes_gt)
+
+        img_info = _load_pickle(img_info_path or
+                                os.path.join(data_path, "ag_img_info_train.pkl"))
+        frame_list_info = _load_pickle(frame_list_path or
+                                       os.path.join(data_path, "triplets_LLM4SGG.pkl"))
+        pseudo = _load_pickle(pseudo_label_path or
+                              os.path.join(data_path, "final_ag_data_w_neg.pkl"))
+
+        self.video_list: list[list[str]] = []
+        self.gt_annotations: list = []
+        self.img_info: list = []
+        self.video_ids: list[str] = []
+        self.triplet_count = 0
+        self.total_frames = 0
+        self.action_count = {name: 0 for name in self.relationship_classes_gt}
+
+        for video_index, wk_ag_data in pseudo.items():
+            if video_index not in frame_list_info:  # :118
+                continue
+            frames = [f"{video_index}/{fid}"
+                      for fid in frame_list_info[video_index]["frame_list"]]
+            if remove_one_frame_video and len(frames) <= 1:
+                continue
+            self.video_ids.append(video_index)
+            self.video_list.append(frames)
+            self.gt_annotations.append(wk_ag_data)
+            self.img_info.append(img_info.get(video_index))
+            self.total_frames += len(frames)
+            for frame_info in wk_ag_data:  # stats (:126-141)
+                for t in frame_info:
+                    if "class" not in t:
+                        continue
+                    for a in np.asarray(t["attention_relationship"]).reshape(-1):
+                        self.action_count[self.relationship_classes_gt[int(a)]] += 1
+                        self.triplet_count += 1
+                    for a in np.asarray(t["spatial_relationship"]).reshape(-1):
+                        self.action_count[self.relationship_classes_gt[int(a) + 3]] += 1
+                        self.triplet_count += 1
+                    for a in np.asarray(t["contacting_relationship"]).reshape(-1):
+                        self.action_count[self.relationship_classes_gt[int(a) + 9]] += 1
+                        self.triplet_count += 1
+
+    def __len__(self) -> int:
+        return len(self.video_list)
+
+    def __getitem__(self, index: int):
+        return self.img_info[index], index
+
+    def __iter__(self) -> Iterator[tuple]:
+        for i in range(len(self)):
+            yield self[i]
+
+
+class AGTest:
+    """GT test split (AG_Test, wk_action_genome.py:172-318)."""
+
+    def __init__(self, data_path: str, mode: str = "test",
+                 img_info_path: str | None = None, assets_dir: str | None = None,
+                 filter_nonperson_box_frame: bool = True,
+                 filter_small_box: bool = True):
+        tax = schema.load_taxonomy(assets_dir)
+        self.object_classes = list(tax.object_classes_gt)  # GT spellings (:44-49)
+        self.attention_relationships = list(tax.attention_relationships_gt)
+        self.spatial_relationships = list(tax.spatial_relationships_gt)
+        self.contacting_relationships = list(tax.contacting_relationships_gt)
+
+        img_info = {}
+        p = img_info_path or os.path.join(data_path, "..", "ag_img_info_test.pkl")
+        if os.path.isfile(p):
+            img_info = _load_pickle(p)
+        person_bbox = _load_pickle(os.path.join(data_path, "person_bbox.pkl"))
+        obj_name = ("object_bbox_and_relationship_filtersmall.pkl" if filter_small_box
+                    else "object_bbox_and_relationship.pkl")
+        object_bbox = _load_pickle(os.path.join(data_path, obj_name))
+
+        # collect valid frames per video (:239-252)
+        video_dict: dict[str, list[str]] = {}
+        for key in person_bbox.keys():
+            if object_bbox[key][0]["metadata"]["set"] != mode:
+                continue
+            if any(o["visible"] for o in object_bbox[key]):
+                video_name = key.split("/")[0]
+                video_dict.setdefault(video_name, []).append(key)
+
+        self.video_list: list[list[str]] = []
+        self.video_size: list = []
+        self.img_info: list = []
+        self.gt_annotations: list = []
+        self.video_ids: list[str] = []
+        self.non_gt_human_nums = 0
+        self.non_person_video = 0
+        self.one_frame_video = 0
+        self.valid_nums = 0
+
+        for vid, keys in video_dict.items():
+            video, gt_video = [], []
+            for key in keys:
+                if filter_nonperson_box_frame and person_bbox[key]["bbox"].shape[0] == 0:
+                    self.non_gt_human_nums += 1
+                    continue
+                video.append(key)
+                self.valid_nums += 1
+                frame_gt = [{"person_bbox": person_bbox[key]["bbox"]}]
+                for k in object_bbox[key]:
+                    if not k["visible"]:
+                        continue
+                    assert k["bbox"] is not None, \
+                        "warning! The object is visible without bbox"
+                    x, y, w, h = k["bbox"]
+                    frame_gt.append({
+                        "class": self.object_classes.index(k["class"]),
+                        "bbox": np.array([x, y, x + w, y + h]),
+                        "attention_relationship": np.array(
+                            [self.attention_relationships.index(r)
+                             for r in k["attention_relationship"]], np.int64),
+                        "spatial_relationship": np.array(
+                            [self.spatial_relationships.index(r)
+                             for r in k["spatial_relationship"]], np.int64),
+                        "contacting_relationship": np.array(
+                            [self.contacting_relationships.index(r)
+                             for r in k["contacting_relationship"]], np.int64),
+                        "metadata": k.get("metadata"),
+                        "visible": k["visible"],
+                    })
+                gt_video.append(frame_gt)
+
+            if len(video) > 2:  # keep >=3-frame videos (:296)
+                self.video_ids.append(vid)
+                self.video_list.append(video)
+                self.video_size.append(person_bbox[keys[-1]]["bbox_size"])
+                self.img_info.append(img_info.get(vid))
+                self.gt_annotations.append(gt_video)
+            elif len(video) == 1:
+                self.one_frame_video += 1
+            else:  # 0 or 2 frames both land here — reference quirk (:299-302)
+                self.non_person_video += 1
+
+    def __len__(self) -> int:
+        return len(self.video_list)
+
+    def __getitem__(self, index: int):
+        return self.img_info[index], index
+
+    def __iter__(self) -> Iterator[tuple]:
+        for i in range(len(self)):
+            yield self[i]

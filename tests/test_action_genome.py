@@ -1,0 +1,133 @@
+"""Dataset-layer tests on hand-built pickle fixtures, asserting the
+reference's documented filtering/conversion rules (wk_action_genome.py)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from nl_vsgg_tpu.data import schema
+from nl_vsgg_tpu.data.action_genome import AGTest, AGTrain
+
+
+def _dump(tmp, name, obj):
+    path = os.path.join(tmp, name)
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+    return path
+
+
+@pytest.fixture
+def train_fixture(tmp_path, rng):
+    tmp = str(tmp_path)
+    ann = lambda cls: {"class": cls, "bbox": np.zeros(4),
+                       "attention_relationship": np.array([0]),
+                       "spatial_relationship": np.array([1, 2]),
+                       "contacting_relationship": np.array([3])}
+    pseudo = {
+        "vidA.mp4": [[{"person_bbox": np.zeros(4)}, ann(5)],
+                     [{"person_bbox": np.zeros(4)}, ann(7), ann(9)]],
+        "vidB.mp4": [[{"person_bbox": np.zeros(4)}, ann(3)]],
+        "vidC.mp4": [[{"person_bbox": np.zeros(4)}, ann(4)]],  # not in frame list
+    }
+    frame_list = {
+        "vidA.mp4": {"frame_list": ["000001.png", "000033.png"]},
+        "vidB.mp4": {"frame_list": ["000002.png"]},
+    }
+    img_info = {"vidA.mp4": [600.0, 1000.0, 1.25], "vidB.mp4": [480.0, 640.0, 1.0]}
+    _dump(tmp, "final_ag_data_w_neg.pkl", pseudo)
+    _dump(tmp, "triplets_LLM4SGG.pkl", frame_list)
+    _dump(tmp, "ag_img_info_train.pkl", img_info)
+    return tmp
+
+
+class TestAGTrain:
+    def test_join_and_filters(self, train_fixture):
+        ds = AGTrain(train_fixture)
+        # vidC dropped (no frame list), vidB dropped (single frame)
+        assert ds.video_ids == ["vidA.mp4"]
+        assert ds.video_list[0] == ["vidA.mp4/000001.png", "vidA.mp4/000033.png"]
+        assert ds.img_info[0] == [600.0, 1000.0, 1.25]
+        assert len(ds.gt_annotations[0]) == 2
+
+    def test_keep_single_frame_videos_when_asked(self, train_fixture):
+        ds = AGTrain(train_fixture, remove_one_frame_video=False)
+        assert ds.video_ids == ["vidA.mp4", "vidB.mp4"]
+
+    def test_action_statistics(self, train_fixture):
+        ds = AGTrain(train_fixture, remove_one_frame_video=False)
+        # 4 annotated objects x (1 att + 2 sp + 1 con) = 16 triplets
+        assert ds.triplet_count == 16
+        tax = schema.load_taxonomy()
+        assert ds.action_count[tax.relationship_classes_gt[0]] == 4     # attention 0
+        assert ds.action_count[tax.relationship_classes_gt[3 + 1]] == 4  # spatial 1
+        assert ds.action_count[tax.relationship_classes_gt[9 + 3]] == 4  # contact 3
+
+
+@pytest.fixture
+def test_fixture(tmp_path):
+    tmp = str(tmp_path)
+    tax = schema.load_taxonomy()
+    person = lambda n: {"bbox": np.ones((n, 4), np.float32), "bbox_size": (480, 270)}
+
+    def obj(visible=True, split="test", cls_idx=5):
+        return {"class": tax.object_classes_gt[cls_idx], "bbox": [10, 20, 30, 40],
+                "visible": visible, "metadata": {"set": split},
+                "attention_relationship": [tax.attention_relationships_gt[1]],
+                "spatial_relationship": [tax.spatial_relationships_gt[0],
+                                         tax.spatial_relationships_gt[2]],
+                "contacting_relationship": [tax.contacting_relationships_gt[4]]}
+
+    person_bbox, object_bbox = {}, {}
+    # vid1: 3 person frames + 1 no-person frame -> kept with 3 frames
+    for i in range(4):
+        key = f"vid1.mp4/{i:06d}.png"
+        person_bbox[key] = person(0 if i == 3 else 1)
+        object_bbox[key] = [obj()]
+    # vid2: 2 valid frames -> dropped (reference counts it as non_person_video)
+    for i in range(2):
+        key = f"vid2.mp4/{i:06d}.png"
+        person_bbox[key] = person(1)
+        object_bbox[key] = [obj()]
+    # vid3: train split -> ignored entirely
+    key = "vid3.mp4/000000.png"
+    person_bbox[key] = person(1)
+    object_bbox[key] = [obj(split="train")]
+    # vid4: frames whose objects are all invisible never enter video_dict
+    key = "vid4.mp4/000000.png"
+    person_bbox[key] = person(1)
+    object_bbox[key] = [obj(visible=False)]
+
+    _dump(tmp, "person_bbox.pkl", person_bbox)
+    _dump(tmp, "object_bbox_and_relationship_filtersmall.pkl", object_bbox)
+    _dump(tmp, "object_bbox_and_relationship.pkl", object_bbox)
+    return tmp
+
+
+class TestAGTest:
+    def test_filtering(self, test_fixture):
+        ds = AGTest(test_fixture)
+        assert ds.video_ids == ["vid1.mp4"]
+        assert len(ds.video_list[0]) == 3
+        assert ds.non_gt_human_nums == 1
+        assert ds.non_person_video == 1  # vid2 (2 frames) — reference quirk
+        assert ds.valid_nums == 5  # 3 (vid1) + 2 (vid2)
+
+    def test_gt_conversion(self, test_fixture):
+        ds = AGTest(test_fixture)
+        frame_gt = ds.gt_annotations[0][0]
+        assert "person_bbox" in frame_gt[0]
+        o = frame_gt[1]
+        assert o["class"] == 5
+        np.testing.assert_array_equal(o["bbox"], [10, 20, 40, 60])  # xywh->xyxy
+        np.testing.assert_array_equal(o["attention_relationship"], [1])
+        np.testing.assert_array_equal(o["spatial_relationship"], [0, 2])
+        np.testing.assert_array_equal(o["contacting_relationship"], [4])
+
+    def test_evaluator_accepts_gt(self, test_fixture):
+        from nl_vsgg_tpu.eval import SceneGraphEvaluator
+        ds = AGTest(test_fixture)
+        ev = SceneGraphEvaluator(mode="sgdet")
+        ev.evaluate_scene_graph(ds.gt_annotations[0], {})
+        assert len(ev.recall[20]) == 3

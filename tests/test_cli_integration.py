@@ -1,0 +1,48 @@
+"""End-to-end CLI integration: micro on-disk AG dataset -> train_STTran
+(1 epoch, grounding + train + checkpoint + eval) -> test_STTran restore
+reproduces the epoch evaluation bit-exactly."""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.fixtures import build_micro_ag
+
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
+
+
+def _load_tool(name):
+    spec = importlib.util.spec_from_file_location(name, os.path.join(TOOLS, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+def test_train_then_eval_roundtrip(tmp_path, monkeypatch, capsys):
+    ag = build_micro_ag(str(tmp_path), n_videos=2, n_frames=3, feat_dim=32)
+    cfg = {"mode": "sgdet", "lr": 1e-4, "nepoch": 1, "enc_layer": 1, "dec_layer": 1,
+           "feat_dim": 32, "bce_loss": True, "batch_videos": 2, "data_path": ag,
+           "pseudo_localized_SG_path": os.path.join(ag, "final_ag_data_w_neg.pkl"),
+           "frame_features_path": os.path.join(ag, "frame_features"),
+           "save_path": str(tmp_path / "out")}
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+
+    train = _load_tool("train_STTran")
+    monkeypatch.setattr(sys, "argv", ["train_STTran.py", "--cfg", cfg_path])
+    train.main()
+    assert os.path.isdir(os.path.join(cfg["save_path"], "ckpt", "0"))
+    assert os.path.isfile(os.path.join(cfg["save_path"], "metrics.jsonl"))
+
+    test = _load_tool("test_STTran")
+    monkeypatch.setattr(sys, "argv", ["test_STTran.py", "--cfg", cfg_path,
+                                      "--model_path",
+                                      os.path.join(cfg["save_path"], "ckpt")])
+    test.main()

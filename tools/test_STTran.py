@@ -1,0 +1,78 @@
+"""Evaluate a trained STTran checkpoint on the AG test split.
+
+Same CLI as the reference tools/test_STTran.py (--cfg, --model_path, :10-21):
+loads an Orbax checkpoint (full TrainState), runs the grounding + model over
+AG_Test, prints R@K / mR@K.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from nl_vsgg_tpu.data import schema
+from nl_vsgg_tpu.data.action_genome import AGTest
+from nl_vsgg_tpu.eval import SceneGraphEvaluator
+from nl_vsgg_tpu.train import create_train_state, make_eval_step, make_optimizer, stack_entries
+from nl_vsgg_tpu.utils.checkpoint import restore_checkpoint
+from nl_vsgg_tpu.utils.config import load_config
+from nl_vsgg_tpu.utils.logging import setup_logger
+
+from train_STTran import build_model, ground_video  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser(description="STTran evaluation")
+    p.add_argument("--cfg", dest="cfg_file", default=None)
+    p.add_argument("--model_path", required=True, help="Orbax checkpoint dir")
+    p.add_argument("--max_videos", type=int, default=0)
+    args = p.parse_args()
+
+    cfg = load_config(args.cfg_file)
+    logger = setup_logger()
+    tax = schema.load_taxonomy()
+    ds_test = AGTest(cfg.data_path if cfg.data_path.endswith("annotations")
+                     else os.path.join(cfg.data_path, "annotations"))
+    logger.info(f"test videos: {len(ds_test)}")
+
+    model = build_model(cfg, tax)
+    sample = None
+    for i in range(len(ds_test)):
+        sample = ground_video(ds_test, i, cfg, False, cfg.buckets)
+        if sample is not None:
+            break
+    assert sample is not None
+    state, _ = create_train_state(model, sample, jax.random.key(cfg.seed),
+                                  tx=make_optimizer(cfg.lr))
+    state = restore_checkpoint(args.model_path, state)
+    eval_step = jax.jit(make_eval_step(model))
+
+    evaluator = SceneGraphEvaluator(mode=cfg.mode, taxonomy=tax)
+    n = len(ds_test) if not args.max_videos else min(args.max_videos, len(ds_test))
+    for i in range(n):
+        e = ground_video(ds_test, i, cfg, False, cfg.buckets)
+        if e is None:
+            evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], {})
+            continue
+        batch = stack_entries([jax.tree.map(jnp.asarray, e)])
+        pred = eval_step(state, batch)
+        pd = {k: np.asarray(v[0]) for k, v in pred.items()}
+        pd.update(boxes=np.asarray(e.boxes), pair_idx=np.asarray(e.pair_idx),
+                  im_idx=np.asarray(e.im_idx), rel_mask=np.asarray(e.rel_mask),
+                  box_mask=np.asarray(e.box_mask), labels=np.asarray(e.labels),
+                  scores=np.asarray(e.scores))
+        evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], pd)
+    evaluator.calculate_mean_recall()
+    evaluator.print_stats(logger)
+
+
+if __name__ == "__main__":
+    main()
