@@ -199,9 +199,12 @@ class STTran(nn.Module):
         vr = nn.Dense(512, name="vr_fc")(vr.reshape(*vr.shape[:-3], -1))
         x_visual = jnp.concatenate([subj_rep, obj_rep, vr], axis=-1)
 
-        # ---- semantic part (lib/sttran.py:391-396): 37-row GloVe tables ----
-        embed1 = self.param("obj_embed", init37, (37, 200))
-        embed2 = self.param("obj_embed2", init37, (37, 200))
+        # ---- semantic part (lib/sttran.py:350-355, 391-396) ----
+        # The reference declares Embedding(len-1) but then overwrites
+        # .weight.data with the 37-row GloVe table (torch .data assignment
+        # skips shape checks), so the live table has 37 rows.
+        embed1 = self.param("obj_embed", init37, (num_classes, 200))
+        embed2 = self.param("obj_embed2", init37, (num_classes, 200))
         subj_cls = pred_labels[..., entry.pair_idx[..., 0]]
         obj_cls = pred_labels[..., entry.pair_idx[..., 1]]
         x_semantic = jnp.concatenate([embed1[subj_cls], embed2[obj_cls]], axis=-1)
