@@ -18,12 +18,8 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mo
 
 
 def _load_reference_evaluator():
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    bbox = types.ModuleType("lib.fpn.box_intersections_cpu.bbox")
-    bbox.bbox_overlaps = lambda a, b: np_iou(a, b)
-    bbox.bbox_intersections = lambda a, b: None
-    sys.modules["lib.fpn.box_intersections_cpu.bbox"] = bbox
+    from tests.ref_stubs import install
+    install()
     from lib.evaluation_recall import SceneGraphEvaluator as RefEvaluator
     return RefEvaluator
 

@@ -22,47 +22,13 @@ ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets")
 
 
 def _load_reference_module(monkeypatch):
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    for name in ["scene_graph_benchmark", "scene_graph_benchmark.AttrRCNN",
-                 "scene_graph_benchmark.config",
-                 "maskrcnn_benchmark", "maskrcnn_benchmark.data",
-                 "maskrcnn_benchmark.data.transforms",
-                 "maskrcnn_benchmark.data.datasets",
-                 "maskrcnn_benchmark.data.datasets.utils",
-                 "maskrcnn_benchmark.data.datasets.utils.load_files",
-                 "maskrcnn_benchmark.structures",
-                 "maskrcnn_benchmark.structures.image_list",
-                 "maskrcnn_benchmark.structures.bounding_box",
-                 "maskrcnn_benchmark.utils",
-                 "maskrcnn_benchmark.utils.checkpoint",
-                 "maskrcnn_benchmark.utils.miscellaneous",
-                 "maskrcnn_benchmark.config",
-                 "lib.draw_rectangles.draw_rectangles",
-                 "lib.extract_bbox_features", "torchvision", "torchvision.ops",
-                 "torchvision.ops.boxes"]:
-        mod = types.ModuleType(name)
-        # attributes referenced in assign_pseudo_label's import list
-        for attr in ("AttrRCNN", "build_transforms", "to_image_list", "BoxList",
-                     "DetectronCheckpointer", "cfg", "sg_cfg",
-                     "config_dataset_file", "mkdir", "extract_feature_given_bbox",
-                     "extract_feature_given_bbox_video",
-                     "extract_feature_given_bbox_base_feat", "box_area"):
-            setattr(mod, attr, object())
-        sys.modules.setdefault(name, mod)
-    # our golden-tested union-mask op stands in for the Cython kernel
-    from nl_vsgg_tpu.ops.union_masks import draw_union_boxes as our_dub
-    dr = sys.modules["lib.draw_rectangles.draw_rectangles"]
-    dr.draw_union_boxes = lambda pair_rois, size: np.moveaxis(
-        np.asarray(our_dub(pair_rois, size)), -1, 1)
+    from tests.ref_stubs import install
+    install()
     import lib.assign_pseudo_label as apl
     # the reference pins everything to cuda:0 (:1209); force CPU
     real_device = torch.device
-
-    class _Dev:
-        def __call__(self, spec):
-            return real_device("cpu")
-    monkeypatch.setattr(apl.torch, "device", _Dev())
+    monkeypatch.setattr(apl.torch, "device",
+                        lambda spec: real_device("cpu"))
     return apl
 
 

@@ -20,20 +20,11 @@ torch = pytest.importorskip("torch")
 
 
 def _load_ref_matcher():
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        ops = types.ModuleType("torchvision.ops")
-        boxes = types.ModuleType("torchvision.ops.boxes")
-
-        def box_area(b):
-            return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-        boxes.box_area = box_area
-        sys.modules.update({"torchvision": tv, "torchvision.ops": ops,
-                            "torchvision.ops.boxes": boxes})
+    import importlib
+    from tests.ref_stubs import install
+    install()
     import lib.matcher as rm
-    return rm
+    return importlib.reload(rm)
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")

@@ -29,37 +29,8 @@ FEAT = 2048  # reference hardcodes 2048-d features
 
 
 def _stub_reference_imports():
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    fake_wv = types.ModuleType("lib.word_vectors")
-    fake_wv.obj_edge_vectors = lambda names, wv_type=None, wv_dir=None, wv_dim=200: \
-        torch.randn(len(names), wv_dim)
-    sys.modules["lib.word_vectors"] = fake_wv
-    for name, attrs in [("lib.fpn.box_intersections_cpu.bbox",
-                         ("bbox_overlaps", "bbox_intersections")),
-                        ("lib.draw_rectangles.draw_rectangles", ("draw_union_boxes",)),
-                        ("fasterRCNN.lib.model.roi_layers", ("ROIAlign", "nms")),
-                        ("lib.extract_bbox_features",
-                         ("extract_feature_given_bbox_base_feat_torch",)),
-                        ("torchvision", ()), ("torchvision.ops", ()),
-                        ("torchvision.ops.boxes", ("box_area",))]:
-        mod = types.ModuleType(name)
-        for a in attrs:
-            setattr(mod, a, lambda *x, **k: (lambda *xx, **kk: None))
-        sys.modules.setdefault(name, mod)
-    # int key_padding_mask fix (lib/transformer_wk.py:154)
-    orig = torch.nn.MultiheadAttention.forward
-    if not getattr(torch.nn.MultiheadAttention, "_nlvsgg_patched", False):
-        def fwd(self, *a, **kw):
-            kpm = kw.get("key_padding_mask")
-            if kpm is not None and kpm.dtype not in (torch.bool, torch.float32):
-                kw["key_padding_mask"] = kpm.bool()
-            return orig(self, *a, **kw)
-        torch.nn.MultiheadAttention.forward = fwd
-        torch.nn.MultiheadAttention._nlvsgg_patched = True
-    # lib/dsg_detr.py:542,560 call .cuda() inline; make it a no-op on CPU
-    if not torch.cuda.is_available():
-        torch.Tensor.cuda = lambda self, *a, **k: self
+    from tests.ref_stubs import install
+    install()
 
 
 # ---------- torch -> flax weight conversion ----------
