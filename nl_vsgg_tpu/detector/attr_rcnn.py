@@ -1,0 +1,161 @@
+"""VinVL AttrRCNN detector facade (TPU-native).
+
+The reference delegates detection + RoI feature extraction to the external
+scene_graph_benchmark AttrRCNN (CUDA) via `prepare_func`
+(lib/assign_pseudo_label.py:973-1000) and the wrappers in
+lib/extract_bbox_features.py. This module is that stack rebuilt in flax/XLA:
+
+  * `preprocess` — cv2-BGR image -> resized (min 600 / max 1000), BGR pixel
+    means subtracted (vinvl_x152c4.yaml INPUT), padded to a static bucket so
+    every video compiles to a handful of shapes.
+  * `AttrRCNNJax.detect` — backbone -> RPN -> box head -> padded detections
+    with per-box mean-pooled 2048-d features (== dets.npy/feat.npy schema,
+    NL-VSGG/data_preprocess/extract_bbox_features_ag.py:108-120).
+  * `AttrRCNNJax.extract_box_features` — (N, 7, 7, 2048) RoI features for
+    *given* boxes (the reference's extract_feature_given_bbox,
+    lib/extract_bbox_features.py:98-160, used for union features).
+
+Layout notes: everything is NHWC. The RPN conv heads emit (H, W, A[*4])
+channels, whose row-major flattening matches grid_anchors' (pos, anchor)
+order — the same (h, w, a) order maskrcnn reaches via permute_and_flatten.
+
+Weights come from the converted vinvl_vg_x152c4.pth checkpoint
+(detector/convert.py); without it the module runs with random weights (shape
+and pipeline checks only — detection quality requires the real checkpoint).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .anchors import grid_anchors
+from .resnet import ResNeXt152C4
+from .roi_box import RoIBoxHead, postprocess_detections
+from .rpn import RPNHead, select_proposals
+
+PIXEL_MEAN_BGR = np.array([103.530, 116.280, 123.675], np.float32)
+MIN_SIZE, MAX_SIZE = 600, 1000
+
+
+def compute_scale(h: int, w: int, min_size: int = MIN_SIZE,
+                  max_size: int = MAX_SIZE) -> float:
+    """maskrcnn Resize.get_size scale for an (h, w) image
+    (== NL-VSGG/data_preprocess/extract_ag_img_info.py's 600/1000 rescale)."""
+    size = min_size
+    mn, mx = min(h, w), max(h, w)
+    if mx / mn * size > max_size:
+        size = int(round(max_size * mn / mx))
+    if mn == size:
+        return 1.0
+    return size / mn
+
+
+def preprocess(image_bgr: np.ndarray, bucket_hw: tuple[int, int] | None = None):
+    """BGR uint8 (H, W, 3) -> (padded float32 NHWC, scale, (new_h, new_w))."""
+    import cv2
+    h, w = image_bgr.shape[:2]
+    scale = compute_scale(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    img = cv2.resize(image_bgr, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    img = img.astype(np.float32) - PIXEL_MEAN_BGR
+    if bucket_hw is None:
+        bucket_hw = (int(np.ceil(nh / 32)) * 32, int(np.ceil(nw / 32)) * 32)
+    out = np.zeros((bucket_hw[0], bucket_hw[1], 3), np.float32)
+    out[:nh, :nw] = img
+    return out, scale, (nh, nw)
+
+
+class AttrRCNNModule(nn.Module):
+    """backbone + rpn head + box head as one flax module (shared params)."""
+
+    groups: int = 32
+
+    def setup(self):
+        self.backbone = ResNeXt152C4(self.groups)
+        self.rpn_head = RPNHead()
+        self.box_head = RoIBoxHead(self.groups)
+
+    def __call__(self, images: jnp.ndarray, boxes: jnp.ndarray):
+        c4 = self.backbone(images)
+        self.rpn_head(c4)
+        cls, _, _ = self.box_head(c4[0], boxes)
+        return cls
+
+    def features(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.backbone(images)
+
+    def rpn(self, c4: jnp.ndarray):
+        return self.rpn_head(c4)
+
+    def box(self, c4_single: jnp.ndarray, boxes: jnp.ndarray):
+        return self.box_head(c4_single, boxes)
+
+
+class AttrRCNNJax:
+    """Inference facade binding params to jitted pipelines."""
+
+    def __init__(self, variables: dict, module: AttrRCNNModule | None = None,
+                 max_proposals: int = 300, max_dets: int = 100):
+        self.module = module or AttrRCNNModule()
+        self.variables = variables
+        self.max_proposals = max_proposals
+        self.max_dets = max_dets
+        apply = self.module.apply
+
+        def box_feats(variables, images, boxes):
+            c4 = apply(variables, images, method="features")
+            _, _, feats77 = apply(variables, c4[0], boxes, method="box")
+            return feats77
+
+        def detect(variables, images, anchors, im_hw):
+            c4 = apply(variables, images, method="features")
+            logits, deltas = apply(variables, c4, method="rpn")
+            obj = logits[0].reshape(-1)
+            dl = deltas[0].reshape(-1, 4)
+            proposals, pvalid = select_proposals(
+                anchors, obj, dl, im_hw, post_nms_top_n=self.max_proposals)
+            cls, bd, feats77 = apply(variables, c4[0], proposals, method="box")
+            dets = postprocess_detections(cls, bd, proposals, pvalid, im_hw,
+                                          max_dets=self.max_dets)
+            feats = feats77.mean(axis=(-3, -2))  # (P, 2048)
+            dets["features"] = feats[dets["box_index"]]
+            return dets
+
+        self._box_feats = jax.jit(box_feats)
+        self._detect = jax.jit(detect)
+
+    @classmethod
+    def create(cls, rng=None, groups: int = 32, **kw) -> "AttrRCNNJax":
+        module = AttrRCNNModule(groups)
+        rng = rng if rng is not None else jax.random.key(0)
+        img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        bx = jnp.asarray([[0, 0, 16, 16], [8, 8, 32, 32]], jnp.float32)
+        variables = module.init(rng, img, bx)
+        return cls(variables=variables, module=module, **kw)
+
+    def extract_box_features(self, image: np.ndarray, boxes_xyxy: np.ndarray,
+                             preprocessed: bool = False) -> np.ndarray:
+        """-> (N, 7, 7, 2048) RoI features, boxes in original image coords."""
+        if preprocessed:
+            img, scale = image, 1.0
+        else:
+            img, scale, _ = preprocess(image)
+        feats = self._box_feats(self.variables, jnp.asarray(img)[None],
+                                jnp.asarray(boxes_xyxy, jnp.float32) * scale)
+        return np.asarray(feats)
+
+    def detect(self, image_bgr: np.ndarray) -> dict:
+        """-> dict(boxes [original coords], scores, labels, features, valid)."""
+        img, scale, (nh, nw) = preprocess(image_bgr)
+        fh, fw = img.shape[0] // 16, img.shape[1] // 16
+        anchors = jnp.asarray(grid_anchors(fh, fw))
+        dets = self._detect(self.variables, jnp.asarray(img)[None], anchors,
+                            jnp.asarray([nh, nw], jnp.float32))
+        out = {k: np.asarray(v) for k, v in dets.items()}
+        out["boxes"] = out["boxes"] / scale
+        return out

@@ -1,0 +1,217 @@
+"""VinVL-JAX detector tests: block numerics vs torch mirrors of the maskrcnn
+building blocks, box decoding, converter structure round-trip, and the full
+detect() pipeline smoke on random weights."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nl_vsgg_tpu.detector.anchors import generate_base_anchors, grid_anchors
+from nl_vsgg_tpu.detector.attr_rcnn import AttrRCNNJax, AttrRCNNModule, compute_scale
+from nl_vsgg_tpu.detector.convert import convert_state_dict, _fold_bn
+from nl_vsgg_tpu.detector.resnet import Bottleneck, Stage
+from nl_vsgg_tpu.detector.rpn import decode_boxes, select_proposals
+
+torch = pytest.importorskip("torch")
+
+
+class TorchFrozenBN(torch.nn.Module):
+    """maskrcnn FrozenBatchNorm2d (eps=0 form)."""
+
+    def __init__(self, n):
+        super().__init__()
+        self.register_buffer("weight", torch.rand(n) + 0.5)
+        self.register_buffer("bias", torch.randn(n) * 0.1)
+        self.register_buffer("running_mean", torch.randn(n) * 0.1)
+        self.register_buffer("running_var", torch.rand(n) + 0.5)
+
+    def forward(self, x):
+        scale = self.weight * self.running_var.rsqrt()
+        bias = self.bias - self.running_mean * scale
+        return x * scale.reshape(1, -1, 1, 1) + bias.reshape(1, -1, 1, 1)
+
+
+class TorchBottleneck(torch.nn.Module):
+    """maskrcnn BottleneckWithFixedBatchNorm, STRIDE_IN_1X1=False."""
+
+    def __init__(self, cin, mid, cout, stride, groups, downsample):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(cin, mid, 1, 1, bias=False)
+        self.bn1 = TorchFrozenBN(mid)
+        self.conv2 = torch.nn.Conv2d(mid, mid, 3, stride, 1, groups=groups, bias=False)
+        self.bn2 = TorchFrozenBN(mid)
+        self.conv3 = torch.nn.Conv2d(mid, cout, 1, 1, bias=False)
+        self.bn3 = TorchFrozenBN(cout)
+        self.downsample = None
+        if downsample:
+            self.downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(cin, cout, 1, stride, bias=False),
+                TorchFrozenBN(cout))
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        h = torch.relu(self.bn1(self.conv1(x)))
+        h = torch.relu(self.bn2(self.conv2(h)))
+        h = self.bn3(self.conv3(h))
+        return torch.relu(h + idn)
+
+
+def _convert_block(tb):
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+    conv = lambda k: {"kernel": sd[k + ".weight"].transpose(2, 3, 1, 0)}
+    p = {"conv1": conv("conv1"), "bn1": _fold_bn(sd, "bn1"),
+         "conv2": conv("conv2"), "bn2": _fold_bn(sd, "bn2"),
+         "conv3": conv("conv3"), "bn3": _fold_bn(sd, "bn3")}
+    if tb.downsample is not None:
+        p["downsample_conv"] = conv("downsample.0")
+        p["downsample_bn"] = _fold_bn(sd, "downsample.1")
+    return p
+
+
+class TestBottleneckParity:
+    @pytest.mark.parametrize("stride,downsample", [(1, False), (2, True)])
+    def test_grouped_bottleneck(self, rng, stride, downsample):
+        torch.manual_seed(3)
+        cin, mid, cout, groups = 32, 16, 32, 8
+        tb = TorchBottleneck(cin, mid, cout, stride, groups, downsample).eval()
+        x = rng.standard_normal((1, cin, 12, 12)).astype(np.float32)
+        with torch.no_grad():
+            ref = tb(torch.as_tensor(x)).numpy()
+        blk = Bottleneck(mid, cout, stride=stride, groups=groups,
+                         has_downsample=downsample)
+        ours = blk.apply({"params": _convert_block(tb)},
+                         jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.moveaxis(np.asarray(ours), -1, 1), ref,
+                                   atol=2e-5)
+
+
+class TestAnchorsAndDecode:
+    def test_base_anchors_shape_and_area(self):
+        a = generate_base_anchors()
+        assert a.shape == (15, 4)
+        # each size group preserves ~size^2 area at ratio 1
+        ratio1 = a[5:10]  # ratio 1.0 block: second ratio row scaled
+        ws = ratio1[:, 2] - ratio1[:, 0] + 1
+        np.testing.assert_allclose(ws, [32, 64, 128, 256, 512], rtol=0.01)
+
+    def test_grid_layout(self):
+        g = grid_anchors(2, 3, 16)
+        assert g.shape == (2 * 3 * 15, 4)
+        # anchor index fastest: first 15 share the (0,0) shift
+        np.testing.assert_allclose(g[:15], generate_base_anchors())
+        # next 15 shifted by stride in x
+        np.testing.assert_allclose(g[15:30, 0] - g[:15, 0], 16.0)
+
+    def test_decode_identity(self):
+        anchors = jnp.asarray([[10.0, 20.0, 49.0, 59.0]])
+        out = decode_boxes(anchors, jnp.zeros((1, 4)))
+        np.testing.assert_allclose(np.asarray(out), [[10, 20, 49, 59]], atol=1e-5)
+
+    def test_decode_shift(self):
+        anchors = jnp.asarray([[0.0, 0.0, 39.0, 39.0]])  # w = h = 40
+        out = decode_boxes(anchors, jnp.asarray([[0.25, 0.0, 0.0, 0.0]]))
+        np.testing.assert_allclose(np.asarray(out), [[10, 0, 49, 39]], atol=1e-4)
+
+    def test_compute_scale(self):
+        assert compute_scale(480, 640) == 600 / 480
+        # capped by max_size
+        assert compute_scale(300, 1000) == pytest.approx(round(1000 * 300 / 1000) / 300)
+        assert compute_scale(600, 800) == 1.0
+
+
+class TestProposals:
+    def test_select_proposals_orders_and_nms(self, rng):
+        anchors = jnp.asarray(rng.uniform(0, 200, (50, 4)).astype(np.float32))
+        anchors = jnp.concatenate([jnp.minimum(anchors[:, :2], anchors[:, 2:]),
+                                   jnp.maximum(anchors[:, :2], anchors[:, 2:]) + 10], 1)
+        obj = jnp.asarray(rng.standard_normal(50).astype(np.float32))
+        deltas = jnp.zeros((50, 4))
+        boxes, valid = select_proposals(anchors, obj, deltas,
+                                        jnp.asarray([240.0, 240.0]),
+                                        pre_nms_top_n=50, post_nms_top_n=20)
+        assert boxes.shape == (20, 4)
+        assert bool(valid[0])
+        # proposals are clipped to the image
+        b = np.asarray(boxes)[np.asarray(valid)]
+        assert (b >= 0).all() and (b <= 239).all()
+
+
+class TestConverterAndPipeline:
+    def _tiny_state_dict(self, rng):
+        """Synthetic maskrcnn-style state dict with the real model's names."""
+        sd = {}
+
+        def add_conv(name, cout, cin, k, bias=False, groups=1):
+            sd[name + ".weight"] = rng.standard_normal(
+                (cout, cin // groups, k, k)).astype(np.float32) * 0.05
+            if bias:
+                sd[name + ".bias"] = np.zeros(cout, np.float32)
+
+        def add_bn(name, c):
+            sd[name + ".weight"] = np.ones(c, np.float32)
+            sd[name + ".bias"] = np.zeros(c, np.float32)
+            sd[name + ".running_mean"] = np.zeros(c, np.float32)
+            sd[name + ".running_var"] = np.ones(c, np.float32)
+
+        add_conv("backbone.body.stem.conv1", 64, 3, 7)
+        add_bn("backbone.body.stem.bn1", 64)
+        specs = [("layer1", 3, 64, 256, 256), ("layer2", 8, 256, 512, 512),
+                 ("layer3", 36, 512, 1024, 1024)]
+        for lname, n, cin, mid, cout in specs:
+            for i in range(n):
+                p = f"backbone.body.{lname}.{i}"
+                c_in = cin if i == 0 else cout
+                add_conv(p + ".conv1", mid, c_in, 1)
+                add_bn(p + ".bn1", mid)
+                add_conv(p + ".conv2", mid, mid, 3, groups=32)
+                add_bn(p + ".bn2", mid)
+                add_conv(p + ".conv3", cout, mid, 1)
+                add_bn(p + ".bn3", cout)
+                if i == 0:
+                    add_conv(p + ".downsample.0", cout, c_in, 1)
+                    add_bn(p + ".downsample.1", cout)
+        add_conv("rpn.head.conv", 1024, 1024, 3, bias=True)
+        add_conv("rpn.head.cls_logits", 15, 1024, 1, bias=True)
+        add_conv("rpn.head.bbox_pred", 60, 1024, 1, bias=True)
+        for i in range(3):
+            p = f"roi_heads.box.feature_extractor.head.layer4.{i}"
+            c_in = 1024 if i == 0 else 2048
+            add_conv(p + ".conv1", 2048, c_in, 1)
+            add_bn(p + ".bn1", 2048)
+            add_conv(p + ".conv2", 2048, 2048, 3, groups=32)
+            add_bn(p + ".bn2", 2048)
+            add_conv(p + ".conv3", 2048, 2048, 1)
+            add_bn(p + ".bn3", 2048)
+            if i == 0:
+                add_conv(p + ".downsample.0", 2048, c_in, 1)
+                add_bn(p + ".downsample.1", 2048)
+        sd["roi_heads.box.predictor.cls_score.weight"] = \
+            rng.standard_normal((1595, 2048)).astype(np.float32) * 0.01
+        sd["roi_heads.box.predictor.cls_score.bias"] = np.zeros(1595, np.float32)
+        sd["roi_heads.box.predictor.bbox_pred.weight"] = \
+            rng.standard_normal((1595 * 4, 2048)).astype(np.float32) * 0.01
+        sd["roi_heads.box.predictor.bbox_pred.bias"] = np.zeros(1595 * 4, np.float32)
+        return sd
+
+    @pytest.mark.slow
+    def test_convert_structure_matches_init_and_detect_runs(self, rng):
+        sd = self._tiny_state_dict(rng)
+        variables = convert_state_dict(sd)
+        det = AttrRCNNJax(variables, max_proposals=50, max_dets=20)
+        # structure must match a fresh init exactly
+        ref = AttrRCNNJax.create().variables
+        ref_paths = {jax.tree_util.keystr(p) for p, _ in
+                     jax.tree_util.tree_leaves_with_path(ref["params"])}
+        got_paths = {jax.tree_util.keystr(p) for p, _ in
+                     jax.tree_util.tree_leaves_with_path(variables["params"])}
+        assert ref_paths == got_paths
+        img = (rng.uniform(0, 255, (96, 128, 3))).astype(np.uint8)
+        out = det.detect(img)
+        assert out["boxes"].shape == (20, 4)
+        assert out["features"].shape == (20, 2048)
+        assert np.isfinite(out["features"]).all()
+        feats = det.extract_box_features(img, np.array([[5, 5, 60, 60]], np.float32))
+        assert feats.shape == (1, 7, 7, 2048)
+        assert np.isfinite(feats).all()
