@@ -1,0 +1,188 @@
+"""Offline weak-supervision pipeline tests: TCS parsing, triplet extraction
+parsing/filtering, ADV alignment math, negative pseudo-labeling."""
+
+import numpy as np
+import pytest
+
+from nl_vsgg_tpu.data import schema
+from nl_vsgg_tpu.pipelines import adv, negatives, tcs, triplets
+
+
+class TestTCS:
+    # GPT responses echo "Output: " with the reference's [3:] slice assuming
+    # this exact prefix shape (NL-VSGG/TCS.py:71)
+    RESPONSE = ("Output:  A person opens a door. >> The person picks up a book. "
+                ">> 'The person reads a book.'")
+
+    def test_parse(self):
+        out = tcs.parse_tcs_response(self.RESPONSE)
+        assert out == ["A person opens a door", "The person picks up a book",
+                       "The person reads a book"]
+
+    def test_run_with_fake_llm(self):
+        calls = []
+
+        def llm(prompt):
+            calls.append(prompt)
+            return self.RESPONSE
+
+        captions = {"v1.mp4": "caption one;caption two", "v2.mp4": "solo"}
+        out = tcs.run_tcs(captions, ["v1.mp4", "v2.mp4"], llm)
+        assert len(calls) == 3  # two captions + one
+        assert len(out["v1.mp4"]) == 2
+        assert out["v2.mp4"][0][0] == "A person opens a door"
+        assert "caption two" in calls[1]
+
+    def test_bounded_retry(self):
+        attempts = []
+
+        def flaky(prompt):
+            attempts.append(1)
+            if len(attempts) < 3:
+                raise RuntimeError("boom")
+            return self.RESPONSE
+
+        out = tcs.run_tcs({"v.mp4": "c"}, ["v.mp4"], flaky)
+        assert len(attempts) == 3
+        assert out["v.mp4"]
+
+        def always_fail(prompt):
+            raise RuntimeError("down")
+
+        with pytest.raises(RuntimeError, match="LLM failed"):
+            tcs.run_tcs({"v.mp4": "c"}, ["v.mp4"], always_fail, max_retries=2)
+
+
+class TestTripletExtraction:
+    RESPONSE = (
+        "Input: A person opens a door. Output: "
+        "Step 1: Triplets extracted from the sentence are <person, opens, door>. "
+        "Step 2: Triplets aligned with the predefined entity/predicate lexicons "
+        "are <1.person, 22.touching, 13.door> and <1.person, 0.None, 13.door> "
+        "and <1.person, 15.holding, 99.spaceship>."
+    )
+
+    def test_parse_filters_lexicon_and_maps_none(self):
+        tax = schema.load_taxonomy()
+        out = triplets.parse_triplet_response(
+            self.RESPONSE, list(tax.object_classes_pipeline),
+            list(tax.relationship_classes_gt))
+        assert len(out) == 1
+        sentence, tris = out[0]
+        assert sentence == "A person opens a door"
+        # 'spaceship' filtered (not in lexicon); None -> unsure kept
+        assert ("person", "touching", "door") in tris
+        assert ("person", "unsure", "door") in tris
+        assert all(t[2] != "spaceship" for t in tris)
+
+    def test_run_assigns_to_sentence_slots(self):
+        out = triplets.run_triplet_extraction(
+            {"v.mp4": [["A person opens a door"]]},
+            {"v.mp4": ["000001.png"]}, lambda p: self.RESPONSE)
+        rec = out["v.mp4"]
+        assert rec["triplets"][0][0][0] == ("person", "touching", "door")
+
+    def test_malformed_video_dropped(self):
+        out = triplets.run_triplet_extraction(
+            {"v.mp4": [["A person opens a door"]]},
+            {"v.mp4": []}, lambda p: "Input: garbage with no steps")
+        assert out == {}
+
+
+class TestADVAlignment:
+    def test_find_consecutive(self):
+        assert adv.find_consecutive_numbers([5, 1, 2, 3, 9]) == [1, 2, 3]
+        assert adv.find_consecutive_numbers([]) == []
+
+    def _embeddings(self, rng, T=12, S=2):
+        """Frames form two temporal phases; sentence s matches phase s."""
+        d = 16
+        protos = rng.standard_normal((S, d))
+        protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+        frames = np.repeat(protos, T // S, axis=0)
+        frames += 0.05 * rng.standard_normal(frames.shape)
+        frames /= np.linalg.norm(frames, axis=1, keepdims=True)
+        return protos, frames
+
+    def test_alignment_is_temporal_and_monotone(self, rng):
+        text, frames = self._embeddings(rng)
+        mapped = adv.align_video([text], frames, beta=4)
+        assert len(mapped) == 2
+        assert mapped[0], "first sentence matched no frames"
+        # sentence 0 maps into the first phase, sentence 1 after it
+        assert max(mapped[0]) < 6
+        if mapped[1]:
+            assert min(mapped[1]) >= mapped[0][0]  # monotonicity
+
+    def test_short_video_fallback(self, rng):
+        text, frames = self._embeddings(rng, T=4, S=2)
+        mapped = adv.align_video([text], frames, beta=4)
+        assert len(mapped) == 2
+        assert all(f < 4 for m in mapped for f in m)
+
+    def test_broadcast_and_final_build(self):
+        tax = schema.load_taxonomy()
+        tris = [[("person", "holding", "cup")], [("person", "looking at", "door")]]
+        per_frame = adv.broadcast_triplets(tris, [[0, 1], [1]], num_frames=3)
+        assert ("person", "holding", "cup") in per_frame[0]
+        assert len(per_frame[1]) == 2
+        assert per_frame[2] == []
+        frames = adv.build_final_video(per_frame, tax)
+        # frame 1 has person dict + two object entries
+        classes = [d.get("class") for d in frames[1] if "class" in d]
+        assert len(classes) == 2
+        # empty-triplet video returns None
+        assert adv.build_final_video([[], []], tax) is None
+
+    def test_filter_triplets(self):
+        groups = [[[("person", "holding", "cup"), ("dog", "holding", "cup"),
+                    ("person", "unsure", "door")]]]
+        out = adv.filter_triplets(groups)
+        assert out == [[("person", "holding", "cup")]]
+
+
+class TestNegatives:
+    def test_unmatched_intervals(self):
+        iv = negatives.unmatched_intervals(8, [[0, 1], [5]])
+        flat = [list(x) for x in iv]
+        assert flat == [[2, 3, 4], [6, 7]]
+
+    def test_giou_trend_labels_boundaries(self):
+        tax = schema.load_taxonomy()
+        frames = [[] for _ in range(6)]
+        tris = [[("person", "holding", "cup")]] + [[]] * 5
+        # mapped only frame 0 -> unmatched 1..5; gIoU decreasing strongly
+        giou_by_frame = {1: 0.5, 2: 0.3, 3: 0.1, 4: -0.1, 5: 0.1}
+
+        def giou_fn(f, obj):
+            return giou_by_frame.get(f)
+
+        negatives.assign_negative_classes_video(frames, tris, [[0]], giou_fn, tax)
+        # boundary frames 1 and 5 got 'not looking at' (attention id 1)
+        for f in (1, 5):
+            entries = [d for d in frames[f] if "class" in d]
+            assert entries, f"frame {f} missing pseudo label"
+            assert 1 in entries[0]["attention_relationship"].tolist()
+        # last boundary frame also 'not contacting'
+        nc = list(tax.contacting_relationships_gt).index("not contacting")
+        entries5 = [d for d in frames[5] if "class" in d]
+        assert nc in entries5[0]["contacting_relationship"].tolist()
+        # middle frames untouched
+        assert frames[3] == []
+
+    def test_flat_giou_no_labels(self):
+        tax = schema.load_taxonomy()
+        frames = [[] for _ in range(4)]
+        tris = [[("person", "holding", "cup")]] + [[]] * 3
+        negatives.assign_negative_classes_video(
+            frames, tris, [[0]], lambda f, o: 0.4, tax)
+        assert all(f == [] for f in frames[1:])
+
+    def test_pair_giou_matches_definition(self, rng):
+        b1 = np.array([0, 0, 10, 10], np.float64)
+        b2 = np.array([0, 0, 10, 10], np.float64)
+        assert negatives.pair_giou(b1, b2) == pytest.approx(1.0)
+        b3 = np.array([20, 20, 30, 30], np.float64)
+        # disjoint equal squares in a 30x30 enclosure
+        g = negatives.pair_giou(b1, b3)
+        assert g == pytest.approx(0.0 - (900 - 200) / 900)
