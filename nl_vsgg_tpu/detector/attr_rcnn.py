@@ -123,8 +123,16 @@ class AttrRCNNJax:
             dets = postprocess_detections(cls, bd, proposals, pvalid, im_hw,
                                           max_dets=self.max_dets)
             feats = feats77.mean(axis=(-3, -2))  # (P, 2048)
-            dets["features"] = feats[dets["box_index"]]
-            return dets
+            # pack everything into ONE array: a single device->host transfer
+            # (each transfer pays full round-trip latency on tunneled chips)
+            return jnp.concatenate([
+                dets["boxes"],
+                dets["scores"][:, None],
+                dets["labels"][:, None].astype(jnp.float32),
+                dets["box_index"][:, None].astype(jnp.float32),
+                dets["valid"][:, None].astype(jnp.float32),
+                feats[dets["box_index"]],
+            ], axis=1)
 
         self._box_feats = jax.jit(box_feats)
         self._detect = jax.jit(detect)
@@ -154,8 +162,14 @@ class AttrRCNNJax:
         img, scale, (nh, nw) = preprocess(image_bgr)
         fh, fw = img.shape[0] // 16, img.shape[1] // 16
         anchors = jnp.asarray(grid_anchors(fh, fw))
-        dets = self._detect(self.variables, jnp.asarray(img)[None], anchors,
-                            jnp.asarray([nh, nw], jnp.float32))
-        out = {k: np.asarray(v) for k, v in dets.items()}
-        out["boxes"] = out["boxes"] / scale
-        return out
+        packed = np.asarray(self._detect(
+            self.variables, jnp.asarray(img)[None], anchors,
+            jnp.asarray([nh, nw], jnp.float32)))
+        return {
+            "boxes": packed[:, :4] / scale,
+            "scores": packed[:, 4],
+            "labels": packed[:, 5].astype(np.int64),
+            "box_index": packed[:, 6].astype(np.int64),
+            "valid": packed[:, 7] > 0.5,
+            "features": packed[:, 8:],
+        }

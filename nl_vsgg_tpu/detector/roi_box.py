@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.roi_align import roi_align
+from ..ops.roi_align_mm import roi_align_mm
 from .resnet import ResNeXtC5Head
 from .rpn import clip_to_image, decode_boxes
 
@@ -47,7 +47,7 @@ class RoIBoxHead(nn.Module):
 
     @nn.compact
     def __call__(self, c4: jnp.ndarray, boxes: jnp.ndarray):
-        crops = roi_align(c4, boxes, output_size=(14, 14), spatial_scale=1.0 / 16)
+        crops = roi_align_mm(c4, boxes, output_size=(14, 14), spatial_scale=1.0 / 16)
         feats77 = ResNeXtC5Head(self.groups, name="head")(crops)  # (N, 7, 7, 2048)
         logits, deltas = BoxPredictor(name="predictor")(feats77)
         return logits, deltas, feats77
@@ -67,7 +67,7 @@ def postprocess_detections(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
     if fewer than min_dets pass the 0.2 threshold, the highest-scoring
     below-threshold candidates fill the quota.
     """
-    from ..ops.nms import batched_nms_mask
+    from ..ops.nms import nms_topk
 
     n, c = cls_logits.shape
     probs = jax.nn.softmax(cls_logits, axis=-1)
@@ -90,21 +90,20 @@ def postprocess_detections(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
     trows = cand_rows[top_idx]
     tvalid = top_scores > 0
 
-    keep = batched_nms_mask(tboxes, top_scores, tlabels, nms_thresh,
-                            valid=tvalid, plus_one=True)
-    # score ordering with the min-detections fallback: kept boxes above
-    # thresh first, then kept boxes below thresh
-    above = keep & (top_scores > score_thresh)
-    rank_score = jnp.where(above, top_scores + 1.0, jnp.where(keep, top_scores, -1.0))
-    out_scores, out_idx = jax.lax.top_k(rank_score, max_dets)
+    # per-class greedy NMS, first max_dets survivors only (already in score
+    # order, so the survivors come out ranked)
+    kept_idx, kept_ok = nms_topk(tboxes, top_scores, nms_thresh, k=max_dets,
+                                 valid=tvalid, class_ids=tlabels, plus_one=True)
+    kept_scores = jnp.where(kept_ok, top_scores[kept_idx], -1.0)
+    # min-detections fallback: keep all above thresh, else fill to min_dets
+    above = kept_ok & (kept_scores > score_thresh)
     n_above = above.sum()
-    quota = jnp.maximum(jnp.minimum(min_dets, keep.sum()), n_above)
-    n_keep = jnp.minimum(quota, max_dets)
-    out_valid = jnp.arange(max_dets) < n_keep
+    quota = jnp.maximum(jnp.minimum(min_dets, kept_ok.sum()), n_above)
+    out_valid = jnp.arange(max_dets) < quota
     return {
-        "boxes": tboxes[out_idx],
-        "scores": top_scores[out_idx],
-        "labels": tlabels[out_idx],
-        "box_index": trows[out_idx],
+        "boxes": tboxes[kept_idx],
+        "scores": top_scores[kept_idx],
+        "labels": tlabels[kept_idx],
+        "box_index": trows[kept_idx],
         "valid": out_valid,
     }

@@ -84,8 +84,9 @@ def select_proposals(anchors: jnp.ndarray, objectness: jnp.ndarray,
     ws = boxes[..., 2] - boxes[..., 0] + 1
     hs = boxes[..., 3] - boxes[..., 1] + 1
     valid = (ws >= 0) & (hs >= 0)
-    keep = nms_mask(boxes, scores[top_idx], nms_thresh, valid=valid, plus_one=True)
-    kept_scores = jnp.where(keep, scores[top_idx], -1.0)
+    # only the top post_nms_top_n survivors matter -> O(post) sequential NMS
+    from ..ops.nms import nms_topk
     n_out = min(post_nms_top_n, k)
-    out_scores, out_idx = jax.lax.top_k(kept_scores, n_out)
-    return boxes[out_idx], out_scores > 0
+    out_idx, ok = nms_topk(boxes, scores[top_idx], nms_thresh, k=n_out,
+                           valid=valid, plus_one=True)
+    return boxes[out_idx], ok

@@ -87,3 +87,39 @@ def batched_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, class_ids: jnp.nda
         0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool))
     )
     return jnp.zeros((n,), bool).at[order].set(keep_sorted)
+
+
+@partial(jax.jit, static_argnames=("k", "plus_one"))
+def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+             k: int, valid: jnp.ndarray | None = None,
+             class_ids: jnp.ndarray | None = None,
+             plus_one: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """First k boxes kept by greedy NMS: (indices (k,), keep_valid (k,)).
+
+    Greedy NMS visits boxes in score order, so its first k survivors are
+    exactly k rounds of pick-argmax + suppress-overlaps. When only the top k
+    matter (RPN post-NMS 300, detections 100), this turns the O(N) sequential
+    scan of nms_mask into O(k) — 20x fewer sequential steps for the RPN's
+    6000-box working set — and never materializes an N x N IoU matrix.
+
+    With `class_ids`, boxes of different classes never suppress each other
+    (per-class NMS).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    live_scores = jnp.where(valid, scores, NEG_INF)
+
+    def body(carry, _):
+        live = carry
+        i = jnp.argmax(live)
+        ok = live[i] > NEG_INF / 2
+        row = iou(boxes[i][None], boxes, plus_one=plus_one)[0] > iou_threshold
+        if class_ids is not None:
+            row = row & (class_ids == class_ids[i])
+        live = jnp.where(row, NEG_INF, live)
+        live = live.at[i].set(NEG_INF)  # defensive: self always leaves the pool
+        return live, (jnp.where(ok, i, 0).astype(jnp.int32), ok)
+
+    _, (idx, ok) = jax.lax.scan(body, live_scores, None, length=k)
+    return idx, ok
