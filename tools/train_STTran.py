@@ -106,6 +106,15 @@ def main():
     assert sample is not None, "no groundable training video"
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip_norm)
     state, tx = create_train_state(model, sample, rng, tx=tx)
+    # auto-resume from the newest checkpoint (the reference cannot resume)
+    from nl_vsgg_tpu.utils.checkpoint import latest_step, restore_checkpoint
+    ckpt_dir = os.path.join(cfg.save_path, "ckpt")
+    start_epoch = 0
+    resumed = latest_step(ckpt_dir)
+    if resumed is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        start_epoch = resumed + 1
+        logger.info(f"resumed from checkpoint epoch {resumed}")
     train_step = jax.jit(make_train_step(model, tx, bce=cfg.bce_loss))
     eval_step = jax.jit(make_eval_step(model))
     scheduler = PlateauScheduler(cfg.lr)
@@ -114,7 +123,7 @@ def main():
     n_test = len(ds_test) if not args.max_videos else min(args.max_videos, len(ds_test))
 
     global_step = 0
-    for epoch in range(cfg.nepoch):
+    for epoch in range(start_epoch, cfg.nepoch):
         t0 = time.time()
         order = np.random.default_rng(cfg.seed + epoch).permutation(n_train)
         # group same-bucket videos into device batches
