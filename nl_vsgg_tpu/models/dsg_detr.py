@@ -124,6 +124,7 @@ class DSGDETR(nn.Module):
     feat_dim: int = 2048
     enc_layer_num: int = 1   # spatial (local) encoder layers (:506)
     dec_layer_num: int = 3   # temporal (global) encoder layers (:503)
+    dtype: Any = None        # compute dtype; params stay fp32
     glove_obj36: np.ndarray | None = None  # (36, 200) classifier soft-embed
     glove_obj37: np.ndarray | None = None  # (37, 200) semantic tables
 
@@ -146,13 +147,16 @@ class DSGDETR(nn.Module):
         out["pred_scores"] = entry.scores
 
         # ---- visual + semantic fusion (:517-532), identical to STTran ----
-        subj_rep = nn.Dense(512, name="subj_fc")(entry.features[..., entry.pair_idx[..., 0], :])
-        obj_rep = nn.Dense(512, name="obj_fc")(entry.features[..., entry.pair_idx[..., 1], :])
-        union_proj = nn.Conv(256, (1, 1), name="union_func1")(entry.union_feat)
+        subj_rep = nn.Dense(512, name="subj_fc", dtype=self.dtype)(
+            entry.features[..., entry.pair_idx[..., 0], :])
+        obj_rep = nn.Dense(512, name="obj_fc", dtype=self.dtype)(
+            entry.features[..., entry.pair_idx[..., 1], :])
+        union_proj = nn.Conv(256, (1, 1), name="union_func1",
+                             dtype=self.dtype)(entry.union_feat)
         mask_feat = SpatialMaskConv(name="spatial_conv")(entry.spatial_masks,
                                                          entry.rel_mask, train)
         vr = union_proj + mask_feat
-        vr = nn.Dense(512, name="vr_fc")(vr.reshape(*vr.shape[:-3], -1))
+        vr = nn.Dense(512, name="vr_fc", dtype=self.dtype)(vr.reshape(*vr.shape[:-3], -1))
         x_visual = jnp.concatenate([subj_rep, obj_rep, vr], axis=-1)
 
         # The reference declares Embedding(len-1) rows (:495-499) but then
@@ -175,7 +179,8 @@ class DSGDETR(nn.Module):
             & rmask[..., :, None] & rmask[..., None, :]
         h = rel_features
         for i in range(self.enc_layer_num):
-            h = TorchEncoderLayer(d_model, 8, 2048, name=f"local_{i}")(h, allow_s, det)
+            h = TorchEncoderLayer(d_model, 8, 2048, dtype=self.dtype,
+                                  name=f"local_{i}")(h, allow_s, det)
         h = jnp.where(rmask[..., None], h, 0.0)
 
         # ---- temporal: same-object-class tracklets (:545-564) ----
@@ -185,8 +190,9 @@ class DSGDETR(nn.Module):
         ranks = tracklet_rank(obj_cls, sub_row, rmask)
         g = SinusoidalPE(d_model, max_len=400, name="positional_encoder")(h, ranks, det)
         for i in range(self.dec_layer_num):
-            g = TorchEncoderLayer(d_model, 8, 2048, name=f"global_{i}")(g, allow_t, det)
-        global_output = jnp.where(rmask[..., None], g, 0.0)
+            g = TorchEncoderLayer(d_model, 8, 2048, dtype=self.dtype,
+                                  name=f"global_{i}")(g, allow_t, det)
+        global_output = jnp.where(rmask[..., None], g, 0.0).astype(jnp.float32)
 
         out["global_output"] = global_output
         out["attention_distribution"] = nn.Dense(

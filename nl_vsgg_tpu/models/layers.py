@@ -35,15 +35,16 @@ class MaskedMHA(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, q_in: jnp.ndarray, k_in: jnp.ndarray, v_in: jnp.ndarray,
                  allow: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         E, H = self.embed_dim, self.num_heads
         D = E // H
-        q = nn.Dense(E, name="q_proj")(q_in)
-        k = nn.Dense(E, name="k_proj")(k_in)
-        v = nn.Dense(E, name="v_proj")(v_in)
+        q = nn.Dense(E, name="q_proj", dtype=self.dtype)(q_in)
+        k = nn.Dense(E, name="k_proj", dtype=self.dtype)(k_in)
+        v = nn.Dense(E, name="v_proj", dtype=self.dtype)(v_in)
 
         def split(x):  # (..., L, E) -> (..., H, L, D)
             return jnp.moveaxis(x.reshape(*x.shape[:-1], H, D), -2, -3)
@@ -58,7 +59,7 @@ class MaskedMHA(nn.Module):
         probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
         out = jnp.einsum("...hqk,...hkd->...hqd", probs, v)
         out = jnp.moveaxis(out, -3, -2).reshape(*q_in.shape[:-1], E)
-        return nn.Dense(E, name="out_proj")(out)
+        return nn.Dense(E, name="out_proj", dtype=self.dtype)(out)
 
 
 class MaskedEncoderLayer(nn.Module):
@@ -68,19 +69,21 @@ class MaskedEncoderLayer(nn.Module):
     num_heads: int
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, allow: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout, name="self_attn")(
+        attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout,
+                         dtype=self.dtype, name="self_attn")(
             x, x, x, allow, deterministic)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm1")(x)
-        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        x = nn.LayerNorm(name="norm1", dtype=self.dtype)(x)
+        h = nn.Dense(self.dim_feedforward, name="linear1", dtype=self.dtype)(x)
         h = nn.Dropout(self.dropout)(nn.relu(h), deterministic=deterministic)
-        h = nn.Dense(self.embed_dim, name="linear2")(h)
+        h = nn.Dense(self.embed_dim, name="linear2", dtype=self.dtype)(h)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(name="norm2")(x)
+        return nn.LayerNorm(name="norm2", dtype=self.dtype)(x)
 
 
 class MaskedDecoderLayer(nn.Module):
@@ -91,17 +94,19 @@ class MaskedDecoderLayer(nn.Module):
     num_heads: int
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos: jnp.ndarray, allow: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout, name="multihead2")(
+        attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout,
+                         dtype=self.dtype, name="multihead2")(
             x + pos, x + pos, x, allow, deterministic)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm3")(x)
-        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        x = nn.LayerNorm(name="norm3", dtype=self.dtype)(x)
+        h = nn.Dense(self.dim_feedforward, name="linear1", dtype=self.dtype)(x)
         h = nn.Dropout(self.dropout)(nn.relu(h), deterministic=deterministic)
-        h = nn.Dense(self.embed_dim, name="linear2")(h)
+        h = nn.Dense(self.embed_dim, name="linear2", dtype=self.dtype)(h)
         return x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
 
@@ -113,19 +118,21 @@ class TorchEncoderLayer(nn.Module):
     num_heads: int
     dim_feedforward: int
     dropout: float = 0.1
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, allow: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout, name="self_attn")(
+        attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout,
+                         dtype=self.dtype, name="self_attn")(
             x, x, x, allow, deterministic)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm1")(x)
-        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        x = nn.LayerNorm(name="norm1", dtype=self.dtype)(x)
+        h = nn.Dense(self.dim_feedforward, name="linear1", dtype=self.dtype)(x)
         h = nn.Dropout(self.dropout)(nn.relu(h), deterministic=deterministic)
-        h = nn.Dense(self.embed_dim, name="linear2")(h)
+        h = nn.Dense(self.embed_dim, name="linear2", dtype=self.dtype)(h)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(name="norm2")(x)
+        return nn.LayerNorm(name="norm2", dtype=self.dtype)(x)
 
 
 class MaskedBatchNorm(nn.Module):

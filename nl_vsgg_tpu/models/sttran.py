@@ -100,6 +100,7 @@ class STTranTransformer(nn.Module):
     enc_layers: int = 1
     dec_layers: int = 3
     mode: str = "latter"  # 'latter' | 'both'
+    dtype: Any = None  # compute dtype (bfloat16 on TPU); params stay fp32
 
     @nn.compact
     def __call__(self, rel_features: jnp.ndarray, im_idx: jnp.ndarray,
@@ -115,6 +116,7 @@ class STTranTransformer(nn.Module):
         for i in range(self.enc_layers):
             local = MaskedEncoderLayer(self.embed_dim, self.num_heads,
                                        self.dim_feedforward, self.dropout,
+                                       dtype=self.dtype,
                                        name=f"enc_{i}")(local, allow_s, det)
         local = jnp.where(rel_mask[..., None], local, 0.0)
 
@@ -135,6 +137,7 @@ class STTranTransformer(nn.Module):
         for i in range(self.dec_layers):
             tokens = MaskedDecoderLayer(self.embed_dim, self.num_heads,
                                         self.dim_feedforward, self.dropout,
+                                        dtype=self.dtype,
                                         name=f"dec_{i}")(tokens, pos, allow_t, det)
         former, latter = tokens[..., :R, :], tokens[..., R:, :]
 
@@ -166,6 +169,7 @@ class STTran(nn.Module):
     dec_layer_num: int = 3
     feat_dim: int = 2048
     transformer_fusion: str = "latter"
+    dtype: Any = None  # compute dtype; None = float32
     glove_obj36: np.ndarray | None = None  # (36, 200) for the classifier
     glove_obj37: np.ndarray | None = None  # (37, 200) for semantic embeds
 
@@ -190,13 +194,16 @@ class STTran(nn.Module):
         out["pred_scores"] = entry.scores
 
         # ---- visual part (lib/sttran.py:380-388) ----
-        subj_rep = nn.Dense(512, name="subj_fc")(entry.features[..., entry.pair_idx[..., 0], :])
-        obj_rep = nn.Dense(512, name="obj_fc")(entry.features[..., entry.pair_idx[..., 1], :])
-        union_proj = nn.Conv(256, (1, 1), name="union_func1")(entry.union_feat)
+        subj_rep = nn.Dense(512, name="subj_fc", dtype=self.dtype)(
+            entry.features[..., entry.pair_idx[..., 0], :])
+        obj_rep = nn.Dense(512, name="obj_fc", dtype=self.dtype)(
+            entry.features[..., entry.pair_idx[..., 1], :])
+        union_proj = nn.Conv(256, (1, 1), name="union_func1",
+                             dtype=self.dtype)(entry.union_feat)
         mask_feat = SpatialMaskConv(name="spatial_conv")(entry.spatial_masks,
                                                          entry.rel_mask, train)
         vr = union_proj + mask_feat  # (R, 7, 7, 256)
-        vr = nn.Dense(512, name="vr_fc")(vr.reshape(*vr.shape[:-3], -1))
+        vr = nn.Dense(512, name="vr_fc", dtype=self.dtype)(vr.reshape(*vr.shape[:-3], -1))
         x_visual = jnp.concatenate([subj_rep, obj_rep, vr], axis=-1)
 
         # ---- semantic part (lib/sttran.py:350-355, 391-396) ----
@@ -214,8 +221,9 @@ class STTran(nn.Module):
         global_output = STTranTransformer(
             embed_dim=rel_features.shape[-1], enc_layers=self.enc_layer_num,
             dec_layers=self.dec_layer_num, mode=self.transformer_fusion,
-            name="glocal_transformer",
+            dtype=self.dtype, name="glocal_transformer",
         )(rel_features, entry.im_idx, entry.rel_mask, entry.num_frames, train)
+        global_output = global_output.astype(jnp.float32)  # heads in fp32
 
         out["global_output"] = global_output
         out["attention_distribution"] = nn.Dense(
