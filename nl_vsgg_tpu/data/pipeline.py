@@ -1,0 +1,75 @@
+"""Host-side data pipeline: background grounding + bucket batching.
+
+The reference's train loop grounds one video on the host, then steps the
+GPU — strictly serial (tools/train_STTran.py:121-195). Here a thread pool
+grounds videos ahead of the device and a bucketer groups same-shape Entries
+into device batches, so host IO/grounding overlaps device compute (the
+data-pipeline-overlap stage of SURVEY.md §7's build plan).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from collections import defaultdict
+from typing import Callable, Iterator, Sequence
+
+from .entry import Entry
+
+
+class GroundingPrefetcher:
+    """Runs `ground_fn(index) -> Entry | None` for each index on worker
+    threads, yielding results in completion order with bounded lookahead."""
+
+    def __init__(self, ground_fn: Callable[[int], Entry | None],
+                 indices: Sequence[int], num_workers: int = 4,
+                 prefetch: int = 16):
+        self.ground_fn = ground_fn
+        self.indices = list(indices)
+        self.num_workers = max(1, num_workers)
+        self.out: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._in: queue.Queue = queue.Queue()
+        for i in self.indices:
+            self._in.put(i)
+        self._threads = []
+        self._errors: list[BaseException] = []
+
+    def _worker(self):
+        while True:
+            try:
+                idx = self._in.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                self.out.put((idx, self.ground_fn(idx)))
+            except BaseException as e:  # surface worker failures to the consumer
+                self._errors.append(e)
+                self.out.put((idx, None))
+
+    def __iter__(self) -> Iterator[tuple[int, Entry | None]]:
+        self._threads = [threading.Thread(target=self._worker, daemon=True)
+                         for _ in range(self.num_workers)]
+        for t in self._threads:
+            t.start()
+        for _ in range(len(self.indices)):
+            yield self.out.get()
+        for t in self._threads:
+            t.join()
+        if self._errors:
+            raise self._errors[0]
+
+
+def bucket_batches(entries: Iterator[tuple[int, Entry | None]],
+                   batch_size: int) -> Iterator[list[Entry]]:
+    """Group same-bucket Entries into batches of `batch_size`; flush leftovers
+    at the end (smaller final batches re-use the batch=1..N compiled steps)."""
+    pending: dict[tuple[int, int], list[Entry]] = defaultdict(list)
+    for _, e in entries:
+        if e is None:
+            continue
+        key = (e.n_boxes, e.n_rels)
+        pending[key].append(e)
+        if len(pending[key]) == batch_size:
+            yield pending.pop(key)
+    for key in list(pending):
+        yield pending.pop(key)

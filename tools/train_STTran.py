@@ -122,34 +122,26 @@ def main():
     n_train = len(ds_train) if not args.max_videos else min(args.max_videos, len(ds_train))
     n_test = len(ds_test) if not args.max_videos else min(args.max_videos, len(ds_test))
 
+    from nl_vsgg_tpu.data.pipeline import GroundingPrefetcher, bucket_batches
+
     global_step = 0
     for epoch in range(start_epoch, cfg.nepoch):
         t0 = time.time()
         order = np.random.default_rng(cfg.seed + epoch).permutation(n_train)
-        # group same-bucket videos into device batches
-        pending: dict[tuple[int, int], list] = defaultdict(list)
         n_seen = 0
 
-        def flush(bucket_entries):
-            nonlocal state, global_step
+        # grounding runs on worker threads, overlapping device compute
+        prefetcher = GroundingPrefetcher(
+            lambda idx: ground_video(ds_train, int(idx), cfg, True, cfg.buckets),
+            order.tolist(), num_workers=cfg.num_workers)
+        for bucket_entries in bucket_batches(iter(prefetcher), cfg.batch_videos):
+            n_seen += len(bucket_entries)
             batch = stack_entries([jax.tree.map(jnp.asarray, e) for e in bucket_entries])
             state, m = train_step(state, batch, jax.random.fold_in(rng, global_step))
             global_step += 1
             if global_step % 100 == 0:
                 metrics.write(global_step, **{k: float(v) for k, v in m.items()})
                 logger.info(f"e{epoch} step {global_step} loss {float(m['total']):.4f}")
-
-        for idx in order:
-            e = ground_video(ds_train, int(idx), cfg, True, cfg.buckets)
-            if e is None:
-                continue
-            key = (e.n_boxes, e.n_rels)
-            pending[key].append(e)
-            n_seen += 1
-            if len(pending[key]) == cfg.batch_videos:
-                flush(pending.pop(key))
-        for key in list(pending):
-            flush(pending.pop(key))
 
         logger.info(f"epoch {epoch} done in {(time.time()-t0)/60:.1f} min "
                     f"({n_seen} videos, skipped {int(state.skipped)})")
