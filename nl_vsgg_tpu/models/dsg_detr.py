@@ -129,7 +129,12 @@ class DSGDETR(nn.Module):
     glove_obj37: np.ndarray | None = None  # (37, 200) semantic tables
 
     @nn.compact
-    def __call__(self, entry: Entry, train: bool = False) -> dict[str, jnp.ndarray]:
+    def __call__(self, entry: Entry, train: bool = False,
+                 group_id: jnp.ndarray | None = None) -> dict[str, jnp.ndarray]:
+        """`group_id` (N,) assigns each box to a tracklet for the non-wks
+        predcls/sgcls object encoder (models/track.py get_sequence/tracker);
+        for predcls it defaults to grouping by GT label (lib/track.py:128-133).
+        The shipped weak-supervision sgdet path ignores it."""
         det = not train
         init36 = (_const_init(self.glove_obj36) if self.glove_obj36 is not None
                   else nn.initializers.normal(1.0))
@@ -138,6 +143,17 @@ class DSGDETR(nn.Module):
         out: dict[str, jnp.ndarray] = {}
         if self.mode == "predcls":
             pred_labels = entry.labels
+        elif self.mode == "sgcls":
+            gid = group_id if group_id is not None else entry.labels
+            obj_logits, _ = ObjectClassifierTracklet(
+                num_classes, init36, mode=self.mode,
+                name="object_classifier")(entry, gid, train)
+            out["distribution"] = obj_logits
+            pred_labels = entry.labels  # train labels (:321); sgcls_infer
+            # reassigns at eval. NOTE: the reference also overwrites
+            # entry["features"] with the 2376-d encoder output (:319), which
+            # would crash its own 2048-in subj_fc — dead code behind the
+            # hardcoded is_wks=True (:89); we keep the RoI features.
         else:
             obj_logits = ObjectClassifierWK(num_classes, init36,
                                             name="object_classifier")(entry, train)
