@@ -157,6 +157,37 @@ class AttrRCNNJax:
                                 jnp.asarray(boxes_xyxy, jnp.float32) * scale)
         return np.asarray(feats)
 
+    def make_union_feature_fn(self, frame_images_bgr: list[np.ndarray],
+                              bucket_hw: tuple[int, int] | None = None):
+        """Returns union_feat_fn(frame_idx, boxes) for data.grounding.
+
+        Precomputes every frame's C4 map once (the reference reruns the full
+        backbone per training step per frame, lib/assign_pseudo_label.py:
+        1336-1342 — here it is one batched backbone pass per video) and
+        serves RoI crops through the matmul RoIAlign + C5 head.
+        """
+        imgs, scales = [], []
+        hw = bucket_hw
+        if hw is None:
+            h = max(i.shape[0] for i in frame_images_bgr)
+            w = max(i.shape[1] for i in frame_images_bgr)
+            s = compute_scale(h, w)
+            hw = (int(np.ceil(h * s / 32)) * 32, int(np.ceil(w * s / 32)) * 32)
+        for img in frame_images_bgr:
+            p, s, _ = preprocess(img, bucket_hw=hw)
+            imgs.append(p)
+            scales.append(s)
+        c4 = self.module.apply(self.variables, jnp.asarray(np.stack(imgs)),
+                               method="features")
+
+        def union_feat_fn(frame_idx: int, boxes_xyxy: np.ndarray) -> np.ndarray:
+            boxes = jnp.asarray(boxes_xyxy, jnp.float32) * scales[frame_idx]
+            _, _, feats77 = self.module.apply(self.variables, c4[frame_idx],
+                                              boxes, method="box")
+            return np.asarray(feats77)
+
+        return union_feat_fn
+
     def detect(self, image_bgr: np.ndarray) -> dict:
         """-> dict(boxes [original coords], scores, labels, features, valid)."""
         img, scale, (nh, nw) = preprocess(image_bgr)
