@@ -1,0 +1,107 @@
+"""Batched on-device Recall@K scoring (the BASELINE "batched top-K scorer").
+
+The host evaluator (eval/recall.py) is the parity reference; this module
+computes the same with-constraint and no-constraint R@K as fused XLA over
+*padded per-frame tensors*, vmap/jit-able over frames and videos — one
+device pass scores a whole eval batch instead of a python loop over frames.
+
+Semantics (pinned by parity tests vs eval/recall.py):
+  * candidate triplets sorted by (sub_score * obj_score * predicate) desc,
+  * match = exact (sub_cls, predicate, obj_cls) equality AND IoU >= 0.5 for
+    both boxes (+1-pixel convention),
+  * R@k = |GT matched by any of the top-k candidates| / |GT|.
+
+Tie-breaking note: numpy's argsort on equal products may order ties
+differently; ties among *matching* candidates cannot change R@k (the union
+over top-k is what counts) unless a tie straddles the k boundary with
+different GT coverage — vanishing probability with continuous scores, and
+the host evaluator remains the source of truth for reported numbers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import iou
+
+
+def _triplet_match(gt_trip, gt_boxes8, gt_mask, pr_trip, pr_boxes8, pr_mask,
+                   iou_thresh: float = 0.5) -> jnp.ndarray:
+    """(G, P) bool: prediction p matches gt g."""
+    same = (gt_trip[:, None, :] == pr_trip[None, :, :]).all(-1)
+    sub_iou = iou(gt_boxes8[:, :4], pr_boxes8[:, :4], plus_one=True)
+    obj_iou = iou(gt_boxes8[:, 4:], pr_boxes8[:, 4:], plus_one=True)
+    ok = same & (sub_iou >= iou_thresh) & (obj_iou >= iou_thresh)
+    return ok & gt_mask[:, None] & pr_mask[None, :]
+
+
+@partial(jax.jit, static_argnames=("ks",))
+def recall_frame(gt_trip, gt_boxes8, gt_mask, pr_trip, pr_boxes8, pr_scores,
+                 pr_mask, ks: tuple[int, ...] = (10, 20, 50)) -> jnp.ndarray:
+    """One frame's R@k vector (len(ks),). Inputs padded; masks mark validity.
+
+    pr_scores: (P,) triplet score products used for ranking.
+    """
+    order = jnp.argsort(jnp.where(pr_mask, -pr_scores, jnp.inf))
+    match = _triplet_match(gt_trip, gt_boxes8, gt_mask,
+                           pr_trip[order], pr_boxes8[order], pr_mask[order])
+    n_gt = jnp.maximum(gt_mask.sum(), 1)
+    out = []
+    for k in ks:
+        hit = match[:, :k].any(axis=1) & gt_mask
+        out.append(hit.sum() / n_gt)
+    return jnp.stack(out)
+
+
+def assemble_with_constraint(pair_idx, im_idx, rel_mask, frame, att_probs,
+                             sp_probs, con_probs, boxes, classes, obj_scores):
+    """Per-frame with-constraint candidates from padded model outputs.
+
+    Returns (pr_trip (3R, 3), pr_boxes8, pr_scores, pr_mask) for one frame
+    `frame`, mirroring the evaluator's 3-block assembly + per-row argmax
+    (eval/recall.py::_calc_recall). Shapes are static in R.
+    """
+    sel = rel_mask & (im_idx == frame)
+    na, ns = att_probs.shape[-1], sp_probs.shape[-1]
+
+    def block(pairs, probs, offset):
+        pred = probs.argmax(-1) + offset
+        score = probs.max(-1)
+        sub, obj = pairs[:, 0], pairs[:, 1]
+        trip = jnp.stack([classes[sub], pred, classes[obj]], axis=-1)
+        boxes8 = jnp.concatenate([boxes[sub], boxes[obj]], axis=-1)
+        s = obj_scores[sub] * obj_scores[obj] * score
+        return trip, boxes8, s
+
+    t1, b1, s1 = block(pair_idx, att_probs, 0)
+    t2, b2, s2 = block(pair_idx[:, ::-1], sp_probs, na)
+    t3, b3, s3 = block(pair_idx, con_probs, na + ns)
+    trip = jnp.concatenate([t1, t2, t3])
+    boxes8 = jnp.concatenate([b1, b2, b3])
+    scores = jnp.concatenate([s1, s2, s3])
+    mask = jnp.concatenate([sel, sel, sel])
+    return trip, boxes8, scores, mask
+
+
+@partial(jax.jit, static_argnames=("ks", "num_frames"))
+def recall_video_with_constraint(gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx,
+                                 rel_mask, att_probs, sp_probs, con_probs,
+                                 boxes, classes, obj_scores,
+                                 num_frames: int,
+                                 ks: tuple[int, ...] = (10, 20, 50)):
+    """All frames of one video at once: gt_* have a leading frame axis
+    (F, G, ...); relation tensors are flat with im_idx. Returns
+    (F, len(ks)) recalls + (F,) frame-has-gt mask."""
+
+    def one(frame, gt_t, gt_b, gt_m):
+        pt, pb, ps, pm = assemble_with_constraint(
+            pair_idx, im_idx, rel_mask, frame, att_probs, sp_probs, con_probs,
+            boxes, classes, obj_scores)
+        return recall_frame(gt_t, gt_b, gt_m, pt, pb, ps, pm, ks)
+
+    frames = jnp.arange(num_frames)
+    recalls = jax.vmap(one)(frames, gt_trip, gt_boxes8, gt_mask)
+    return recalls, gt_mask.any(-1)

@@ -1,0 +1,64 @@
+"""On-device batched R@K scorer parity vs the host evaluator."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nl_vsgg_tpu.data import schema
+from nl_vsgg_tpu.eval import SceneGraphEvaluator
+from nl_vsgg_tpu.eval.recall_jax import recall_video_with_constraint
+from tests.test_eval_recall import _random_video
+
+torch = pytest.importorskip("torch")
+
+
+def _pack_gt(gt, evaluator, g_max=24):
+    """AGTest-style gt frames -> padded (F, G, ...) triplet tensors using the
+    evaluator's own GT-graph builder."""
+    F = len(gt)
+    trip = np.zeros((F, g_max, 3), np.int32)
+    boxes8 = np.zeros((F, g_max, 8), np.float32)
+    mask = np.zeros((F, g_max), bool)
+    for f, frame_gt in enumerate(gt):
+        e = evaluator._gt_entry(frame_gt)
+        rels = e["gt_relations"]
+        cls = e["gt_classes"].astype(np.int32)
+        bx = e["gt_boxes"].astype(np.float32)
+        n = min(len(rels), g_max)
+        for i in range(n):
+            s, o, p = rels[i]
+            trip[f, i] = [cls[s], p, cls[o]]
+            boxes8[f, i, :4] = bx[s]
+            boxes8[f, i, 4:] = bx[o]
+        mask[f, :n] = True
+    return trip, boxes8, mask
+
+
+def test_with_constraint_parity(rng):
+    for trial in range(4):
+        gt, pred = _random_video(rng, n_frames=3 + trial % 2, n_objs=2)
+        host = SceneGraphEvaluator(mode="sgdet")
+        host.evaluate_scene_graph(gt, pred)
+
+        ev = SceneGraphEvaluator(mode="sgdet")  # builder access only
+        trip, boxes8, mask = _pack_gt(gt, ev)
+        att = np.asarray(pred["attention_distribution"], np.float32)
+        att = np.exp(att - att.max(1, keepdims=True))
+        att /= att.sum(1, keepdims=True)  # evaluator softmaxes attention
+        recalls, has_gt = recall_video_with_constraint(
+            jnp.asarray(trip), jnp.asarray(boxes8), jnp.asarray(mask),
+            jnp.asarray(pred["pair_idx"], jnp.int32),
+            jnp.asarray(pred["im_idx"], jnp.int32),
+            jnp.ones(len(pred["im_idx"]), bool),
+            jnp.asarray(att),
+            jnp.asarray(pred["spatial_distribution"], jnp.float32),
+            jnp.asarray(pred["contacting_distribution"], jnp.float32),
+            jnp.asarray(pred["boxes"][:, 1:], jnp.float32),
+            jnp.asarray(pred["pred_labels"], jnp.int32),
+            jnp.asarray(pred["pred_scores"], jnp.float32),
+            num_frames=len(gt))
+        got = np.asarray(recalls)
+        for ki, k in enumerate((10, 20, 50)):
+            np.testing.assert_allclose(got[:, ki], host.recall[k], atol=1e-6,
+                                       err_msg=f"trial {trial} R@{k}")
