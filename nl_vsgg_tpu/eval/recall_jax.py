@@ -105,3 +105,62 @@ def recall_video_with_constraint(gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx,
     frames = jnp.arange(num_frames)
     recalls = jax.vmap(one)(frames, gt_trip, gt_boxes8, gt_mask)
     return recalls, gt_mask.any(-1)
+
+
+def assemble_no_constraint(pair_idx, im_idx, rel_mask, frame, att_probs,
+                           sp_probs, con_probs, boxes, classes, obj_scores,
+                           top_n: int = 100):
+    """Per-frame no-constraint candidates: every (relation row, predicate)
+    scored by obj_sub * obj_obj * predicate, global top-100
+    (eval/recall.py::_calc_nogc)."""
+    sel = rel_mask & (im_idx == frame)
+    na, ns, nc = att_probs.shape[-1], sp_probs.shape[-1], con_probs.shape[-1]
+    R = pair_idx.shape[0]
+
+    def block(pairs, probs, offset, width):
+        sub, obj = pairs[:, 0], pairs[:, 1]
+        w = obj_scores[sub] * obj_scores[obj]
+        scores = w[:, None] * probs                      # (R, width)
+        preds = jnp.arange(width) + offset               # (width,)
+        trip = jnp.stack([jnp.broadcast_to(classes[sub][:, None], (R, width)),
+                          jnp.broadcast_to(preds[None, :], (R, width)),
+                          jnp.broadcast_to(classes[obj][:, None], (R, width))],
+                         axis=-1).reshape(R * width, 3)
+        boxes8 = jnp.concatenate([boxes[sub], boxes[obj]], -1)
+        boxes8 = jnp.repeat(boxes8, width, axis=0)
+        pscores = probs.reshape(-1)
+        rank = scores.reshape(-1)
+        mask = jnp.repeat(sel, width)
+        return trip, boxes8, pscores, rank, mask
+
+    t1 = block(pair_idx, att_probs, 0, na)
+    t2 = block(pair_idx[:, ::-1], sp_probs, na, ns)
+    t3 = block(pair_idx, con_probs, na + ns, nc)
+    trip = jnp.concatenate([t1[0], t2[0], t3[0]])
+    boxes8 = jnp.concatenate([t1[1], t2[1], t3[1]])
+    pred_scores = jnp.concatenate([t1[2], t2[2], t3[2]])
+    rank = jnp.concatenate([t1[3], t2[3], t3[3]])
+    mask = jnp.concatenate([t1[4], t2[4], t3[4]])
+    # global top-100 by the weighted rank (argsort_desc equivalent)
+    k = min(top_n, rank.shape[0])
+    top_rank, idx = jax.lax.top_k(jnp.where(mask, rank, -1.0), k)
+    # final candidate ordering inside evaluate_recall is by the triplet score
+    # product sub*obj*pred == the same weighted rank
+    return trip[idx], boxes8[idx], top_rank, top_rank > 0
+
+
+@partial(jax.jit, static_argnames=("ks", "num_frames", "top_n"))
+def recall_video_no_constraint(gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx,
+                               rel_mask, att_probs, sp_probs, con_probs,
+                               boxes, classes, obj_scores, num_frames: int,
+                               top_n: int = 100,
+                               ks: tuple[int, ...] = (10, 20, 50)):
+    def one(frame, gt_t, gt_b, gt_m):
+        pt, pb, ps, pm = assemble_no_constraint(
+            pair_idx, im_idx, rel_mask, frame, att_probs, sp_probs, con_probs,
+            boxes, classes, obj_scores, top_n)
+        return recall_frame(gt_t, gt_b, gt_m, pt, pb, ps, pm, ks)
+
+    frames = jnp.arange(num_frames)
+    recalls = jax.vmap(one)(frames, gt_trip, gt_boxes8, gt_mask)
+    return recalls, gt_mask.any(-1)
