@@ -134,8 +134,32 @@ class AttrRCNNJax:
                 feats[dets["box_index"]],
             ], axis=1)
 
+        def detect_batch(variables, images, anchors, im_hw):
+            """Whole-video pass: one backbone call over all frames, RPN +
+            box head vmapped per frame. images (F, H, W, 3) same bucket."""
+            c4 = apply(variables, images, method="features")
+            logits, deltas = apply(variables, c4, method="rpn")
+
+            def per_frame(c4f, lg, dl):
+                proposals, pvalid = select_proposals(
+                    anchors, lg.reshape(-1), dl.reshape(-1, 4), im_hw,
+                    post_nms_top_n=self.max_proposals)
+                cls, bd, feats77 = apply(variables, c4f, proposals, method="box")
+                dets = postprocess_detections(cls, bd, proposals, pvalid, im_hw,
+                                              max_dets=self.max_dets)
+                feats = feats77.mean(axis=(-3, -2))
+                return jnp.concatenate([
+                    dets["boxes"], dets["scores"][:, None],
+                    dets["labels"][:, None].astype(jnp.float32),
+                    dets["box_index"][:, None].astype(jnp.float32),
+                    dets["valid"][:, None].astype(jnp.float32),
+                    feats[dets["box_index"]]], axis=1)
+
+            return jax.vmap(per_frame)(c4, logits, deltas)
+
         self._box_feats = jax.jit(box_feats)
         self._detect = jax.jit(detect)
+        self._detect_batch = jax.jit(detect_batch)
 
     @classmethod
     def create(cls, rng=None, groups: int = 32, **kw) -> "AttrRCNNJax":
@@ -156,6 +180,39 @@ class AttrRCNNJax:
         feats = self._box_feats(self.variables, jnp.asarray(img)[None],
                                 jnp.asarray(boxes_xyxy, jnp.float32) * scale)
         return np.asarray(feats)
+
+    def detect_video(self, frame_images_bgr: list[np.ndarray]) -> list[dict]:
+        """Detect over a whole video in ONE device call (all frames batched
+        through the backbone, one host transfer for all outputs) — the
+        offline extraction path (vs the reference's per-frame batch-4 loop,
+        NL-VSGG/data_preprocess/extract_bbox_features_ag.py:78)."""
+        h = max(i.shape[0] for i in frame_images_bgr)
+        w = max(i.shape[1] for i in frame_images_bgr)
+        s = compute_scale(h, w)
+        hw = (int(np.ceil(h * s / 32)) * 32, int(np.ceil(w * s / 32)) * 32)
+        imgs, scales, sizes = [], [], []
+        for img in frame_images_bgr:
+            p, sc, (nh, nw) = preprocess(img, bucket_hw=hw)
+            imgs.append(p)
+            scales.append(sc)
+            sizes.append((nh, nw))
+        anchors = jnp.asarray(grid_anchors(hw[0] // 16, hw[1] // 16))
+        im_hw = jnp.asarray([max(z[0] for z in sizes),
+                             max(z[1] for z in sizes)], jnp.float32)
+        packed = np.asarray(self._detect_batch(
+            self.variables, jnp.asarray(np.stack(imgs)), anchors, im_hw))
+        out = []
+        for f in range(len(frame_images_bgr)):
+            p = packed[f]
+            out.append({
+                "boxes": p[:, :4] / scales[f],
+                "scores": p[:, 4],
+                "labels": p[:, 5].astype(np.int64),
+                "box_index": p[:, 6].astype(np.int64),
+                "valid": p[:, 7] > 0.5,
+                "features": p[:, 8:],
+            })
+        return out
 
     def make_union_feature_fn(self, frame_images_bgr: list[np.ndarray],
                               bucket_hw: tuple[int, int] | None = None):

@@ -68,9 +68,10 @@ def cmd_features(args):
         vdir = os.path.join(args.frames, vid)
         if not os.path.isdir(vdir):
             continue
-        for frame in sorted(os.listdir(vdir)):
-            img = cv2.imread(os.path.join(vdir, frame))
-            dets = det.detect(img)
+        frames = sorted(os.listdir(vdir))
+        imgs = [cv2.imread(os.path.join(vdir, f)) for f in frames]
+        # whole video in one device call (vs the reference's batch-4 loop)
+        for frame, dets in zip(frames, det.detect_video(imgs)):
             valid = dets["valid"]
             per_img = [{"class": int(c), "conf": np.float32(s), "rect": r}
                        for c, s, r in zip(dets["labels"][valid],
