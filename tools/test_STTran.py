@@ -29,6 +29,42 @@ from nl_vsgg_tpu.utils.logging import setup_logger
 from train_STTran import build_model, ground_video  # noqa: E402
 
 
+def make_gt_entry_builder(cfg):
+    """PredCLS/SGCLS evaluation needs VinVL features at GT boxes — build the
+    hooks from the converted checkpoint (cfg.ckpt)."""
+    assert cfg.ckpt and os.path.isfile(str(cfg.ckpt)), \
+        f"mode={cfg.mode} needs a converted VinVL checkpoint (cfg.ckpt)"
+    import cv2
+    from nl_vsgg_tpu.data.gt_entry import build_gt_entry
+    from nl_vsgg_tpu.data.entry import pick_bucket
+    from nl_vsgg_tpu.detector.attr_rcnn import AttrRCNNJax
+    from nl_vsgg_tpu.detector.convert import load_checkpoint
+    det = AttrRCNNJax(load_checkpoint(str(cfg.ckpt)))
+
+    def classify(feats):
+        p = det.variables["params"]["box_head"]["predictor"]["cls_score"]
+        return feats @ np.asarray(p["kernel"]) + np.asarray(p["bias"])
+
+    def build(ds, idx, buckets):
+        frames = [cv2.imread(os.path.join(cfg.data_path, "frames", f))
+                  for f in ds.video_list[idx]]
+        uf = det.make_union_feature_fn(frames)
+
+        def feature_fn(i, boxes):
+            return det.extract_box_features(frames[i], boxes).mean((-3, -2))
+
+        gt = ds.gt_annotations[idx]
+        n_boxes = sum(len(f) for f in gt)
+        bb = pick_bucket(buckets.max_boxes, n_boxes)
+        br = pick_bucket(buckets.max_rels, n_boxes)
+        return build_gt_entry(gt, cfg.mode, bb, br, feature_fn,
+                              union_feature_fn=uf if cfg.mode == "predcls" else None,
+                              classify_fn=classify if cfg.mode == "sgcls" else None,
+                              feat_dim=cfg.feat_dim)
+
+    return build
+
+
 def main():
     p = argparse.ArgumentParser(description="STTran evaluation")
     p.add_argument("--cfg", dest="cfg_file", default=None)
@@ -44,9 +80,14 @@ def main():
     logger.info(f"test videos: {len(ds_test)}")
 
     model = build_model(cfg, tax)
+    if cfg.mode in ("predcls", "sgcls"):
+        builder = make_gt_entry_builder(cfg)
+        get_entry = lambda i: builder(ds_test, i, cfg.buckets)
+    else:
+        get_entry = lambda i: ground_video(ds_test, i, cfg, False, cfg.buckets)
     sample = None
     for i in range(len(ds_test)):
-        sample = ground_video(ds_test, i, cfg, False, cfg.buckets)
+        sample = get_entry(i)
         if sample is not None:
             break
     assert sample is not None
@@ -58,7 +99,7 @@ def main():
     evaluator = SceneGraphEvaluator(mode=cfg.mode, taxonomy=tax)
     n = len(ds_test) if not args.max_videos else min(args.max_videos, len(ds_test))
     for i in range(n):
-        e = ground_video(ds_test, i, cfg, False, cfg.buckets)
+        e = get_entry(i)
         if e is None:
             evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], {})
             continue
