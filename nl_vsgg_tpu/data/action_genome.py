@@ -7,7 +7,10 @@ Mirrors dataloader/wk_action_genome.py's AG_Train (:17-170) and AG_Test
     with `triplets_LLM4SGG.pkl` (frame lists) and `ag_img_info_train.pkl`
     ([H, W, scale] per video); videos absent from the frame-list file are
     skipped (:118). Dict insertion order is preserved (it defines epoch
-    order in the reference).
+    order in the reference). `remove_one_frame_video` honors the config flag
+    (lib/config.py:29) — note the reference's live AG_Train ignores it (the
+    flag is only read by its commented-out AG class, :532), so pass False
+    for byte-exact dataset parity.
   * AGTest: real GT from `person_bbox.pkl` + `object_bbox_and_relationship
     (_filtersmall).pkl`; frames without a person box are dropped, and only
     videos with >= 3 remaining frames are kept — with the reference's exact

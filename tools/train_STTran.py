@@ -115,7 +115,8 @@ def main():
         state = restore_checkpoint(ckpt_dir, state)
         start_epoch = resumed + 1
         logger.info(f"resumed from checkpoint epoch {resumed}")
-    train_step = jax.jit(make_train_step(model, tx, bce=cfg.bce_loss))
+    train_step = jax.jit(make_train_step(model, tx, bce=cfg.bce_loss),
+                         donate_argnums=(0,))  # reuse state buffers in-place
     eval_step = jax.jit(make_eval_step(model))
     scheduler = PlateauScheduler(cfg.lr)
 
@@ -148,21 +149,38 @@ def main():
         save_checkpoint(os.path.join(cfg.save_path, "ckpt"), epoch, state,
                         config_json=cfg.to_json())
 
-        # ---- per-epoch evaluation (train_STTran.py:210-232) ----
+        # ---- per-epoch evaluation (train_STTran.py:210-232), batched ----
         evaluator = SceneGraphEvaluator(mode=cfg.mode, taxonomy=tax)
-        for i in range(n_test):
-            e = ground_video(ds_test, i, cfg, False, cfg.buckets)
+        eval_pf = GroundingPrefetcher(
+            lambda i: ground_video(ds_test, int(i), cfg, False, cfg.buckets),
+            list(range(n_test)), num_workers=cfg.num_workers)
+        grounded = {}
+        for i, e in eval_pf:
             if e is None:
                 evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], {})
-                continue
-            batch = stack_entries([jax.tree.map(jnp.asarray, e)])
-            pred = eval_step(state, batch)
-            p = {k: np.asarray(v[0]) for k, v in pred.items()}
-            p.update(boxes=np.asarray(e.boxes), pair_idx=np.asarray(e.pair_idx),
-                     im_idx=np.asarray(e.im_idx), rel_mask=np.asarray(e.rel_mask),
-                     box_mask=np.asarray(e.box_mask), labels=np.asarray(e.labels),
-                     scores=np.asarray(e.scores))
-            evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
+            else:
+                grounded[i] = e
+        by_bucket: dict = defaultdict(list)
+        for i, e in grounded.items():
+            by_bucket[(e.n_boxes, e.n_rels)].append(i)
+        for key, idxs in by_bucket.items():
+            for s0 in range(0, len(idxs), cfg.batch_videos):
+                chunk = idxs[s0:s0 + cfg.batch_videos]
+                batch = stack_entries([jax.tree.map(jnp.asarray, grounded[i])
+                                       for i in chunk])
+                pred = eval_step(state, batch)
+                pred = jax.device_get(pred)
+                for bi, i in enumerate(chunk):
+                    e = grounded[i]
+                    p = {k: np.asarray(v[bi]) for k, v in pred.items()}
+                    p.update(boxes=np.asarray(e.boxes),
+                             pair_idx=np.asarray(e.pair_idx),
+                             im_idx=np.asarray(e.im_idx),
+                             rel_mask=np.asarray(e.rel_mask),
+                             box_mask=np.asarray(e.box_mask),
+                             labels=np.asarray(e.labels),
+                             scores=np.asarray(e.scores))
+                    evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
         score = evaluator.mean_score(20)
         evaluator.calculate_mean_recall()
         logger.info(f"------------Inference in Epoch ({epoch})------------")
