@@ -107,7 +107,9 @@ class TestLossParity:
 class TestTrainStep:
     def _setup(self, rng, batch=2, lr=1e-4):
         entries = [_entry(rng) for _ in range(batch)]
-        model = STTran(mode="sgdet", feat_dim=FEAT)
+        # dec_layer_num=1: step mechanics don't depend on depth, and CPU
+        # compiles of the 3-layer decoder dominate suite time
+        model = STTran(mode="sgdet", feat_dim=FEAT, dec_layer_num=1)
         tx = make_optimizer(lr=lr)
         state, tx = create_train_state(model, entries[0], jax.random.key(0), tx=tx)
         step = jax.jit(make_train_step(model, tx))
@@ -143,7 +145,7 @@ class TestTrainStep:
         mesh = make_mesh(data=4, model=2)
 
         entries = [_entry(rng) for _ in range(8)]
-        model = STTran(mode="sgdet", feat_dim=FEAT)
+        model = STTran(mode="sgdet", feat_dim=FEAT, dec_layer_num=1)
         tx = make_optimizer(lr=1e-3)
         state, tx = create_train_state(model, entries[0], jax.random.key(0), tx=tx)
         rep = replicated(mesh)
