@@ -164,3 +164,58 @@ def recall_video_no_constraint(gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx,
     frames = jnp.arange(num_frames)
     recalls = jax.vmap(one)(frames, gt_trip, gt_boxes8, gt_mask)
     return recalls, gt_mask.any(-1)
+
+
+def assemble_semi(pair_idx, im_idx, rel_mask, frame, att_probs, sp_probs,
+                  con_probs, boxes, classes, obj_scores):
+    """Per-frame semi-recall candidates (eval/recall.py::_calc_semi):
+    attention rows contribute their argmax; spatial/contacting rows every
+    predicate above 0.5. The reference's block-detection quirk (a row is an
+    attention row when its first two columns are nonzero) holds by
+    construction here: softmax attention probabilities are always positive,
+    sigmoid blocks always land in their own columns."""
+    sel = rel_mask & (im_idx == frame)
+    na, ns, nc = att_probs.shape[-1], sp_probs.shape[-1], con_probs.shape[-1]
+    R = pair_idx.shape[0]
+
+    def block(pairs, probs, offset, width, argmax_only):
+        sub, obj = pairs[:, 0], pairs[:, 1]
+        preds = jnp.arange(width) + offset
+        trip = jnp.stack([jnp.broadcast_to(classes[sub][:, None], (R, width)),
+                          jnp.broadcast_to(preds[None, :], (R, width)),
+                          jnp.broadcast_to(classes[obj][:, None], (R, width))],
+                         axis=-1).reshape(R * width, 3)
+        boxes8 = jnp.repeat(jnp.concatenate([boxes[sub], boxes[obj]], -1),
+                            width, axis=0)
+        if argmax_only:
+            cmask = jax.nn.one_hot(probs.argmax(-1), width, dtype=bool)
+        else:
+            cmask = probs > 0.5
+        rank = (obj_scores[sub] * obj_scores[obj])[:, None] * probs
+        mask = jnp.repeat(sel, width) & cmask.reshape(-1)
+        return trip, boxes8, rank.reshape(-1), mask
+
+    t1 = block(pair_idx, att_probs, 0, na, True)
+    t2 = block(pair_idx[:, ::-1], sp_probs, na, ns, False)
+    t3 = block(pair_idx, con_probs, na + ns, nc, False)
+    trip = jnp.concatenate([t1[0], t2[0], t3[0]])
+    boxes8 = jnp.concatenate([t1[1], t2[1], t3[1]])
+    rank = jnp.concatenate([t1[2], t2[2], t3[2]])
+    mask = jnp.concatenate([t1[3], t2[3], t3[3]])
+    return trip, boxes8, rank, mask
+
+
+@partial(jax.jit, static_argnames=("ks", "num_frames"))
+def recall_video_semi(gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx, rel_mask,
+                      att_probs, sp_probs, con_probs, boxes, classes,
+                      obj_scores, num_frames: int,
+                      ks: tuple[int, ...] = (10, 20, 50)):
+    def one(frame, gt_t, gt_b, gt_m):
+        pt, pb, ps, pm = assemble_semi(
+            pair_idx, im_idx, rel_mask, frame, att_probs, sp_probs, con_probs,
+            boxes, classes, obj_scores)
+        return recall_frame(gt_t, gt_b, gt_m, pt, pb, ps, pm, ks)
+
+    frames = jnp.arange(num_frames)
+    recalls = jax.vmap(one)(frames, gt_trip, gt_boxes8, gt_mask)
+    return recalls, gt_mask.any(-1)

@@ -91,3 +91,32 @@ def test_no_constraint_parity(rng):
         for ki, k in enumerate((10, 20, 50)):
             np.testing.assert_allclose(got[:, ki], host.recall_nogc[k], atol=1e-6,
                                        err_msg=f"trial {trial} nogc R@{k}")
+
+
+def test_semi_parity(rng):
+    from nl_vsgg_tpu.eval.recall_jax import recall_video_semi
+    for trial in range(4):
+        gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+        host = SceneGraphEvaluator(mode="sgdet")
+        host.evaluate_scene_graph(gt, pred)
+        ev = SceneGraphEvaluator(mode="sgdet")
+        trip, boxes8, mask = _pack_gt(gt, ev)
+        att = np.asarray(pred["attention_distribution"], np.float32)
+        att = np.exp(att - att.max(1, keepdims=True))
+        att /= att.sum(1, keepdims=True)
+        recalls, _ = recall_video_semi(
+            jnp.asarray(trip), jnp.asarray(boxes8), jnp.asarray(mask),
+            jnp.asarray(pred["pair_idx"], jnp.int32),
+            jnp.asarray(pred["im_idx"], jnp.int32),
+            jnp.ones(len(pred["im_idx"]), bool),
+            jnp.asarray(att),
+            jnp.asarray(pred["spatial_distribution"], jnp.float32),
+            jnp.asarray(pred["contacting_distribution"], jnp.float32),
+            jnp.asarray(pred["boxes"][:, 1:], jnp.float32),
+            jnp.asarray(pred["pred_labels"], jnp.int32),
+            jnp.asarray(pred["pred_scores"], jnp.float32),
+            num_frames=len(gt))
+        got = np.asarray(recalls)
+        for ki, k in enumerate((10, 20, 50)):
+            np.testing.assert_allclose(got[:, ki], host.semi_recall[k], atol=1e-6,
+                                       err_msg=f"trial {trial} semi R@{k}")
