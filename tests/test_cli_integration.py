@@ -46,3 +46,22 @@ def test_train_then_eval_roundtrip(tmp_path, monkeypatch, capsys):
                                       "--model_path",
                                       os.path.join(cfg["save_path"], "ckpt")])
     test.main()
+
+
+@pytest.mark.slow
+def test_dsg_detr_train_cli(tmp_path, monkeypatch):
+    ag = build_micro_ag(str(tmp_path), n_videos=2, n_frames=3, feat_dim=32)
+    cfg = {"mode": "sgdet", "lr": 1e-4, "nepoch": 1, "feat_dim": 32,
+           "bce_loss": True, "batch_videos": 2, "data_path": ag,
+           "pseudo_localized_SG_path": os.path.join(ag, "final_ag_data_w_neg.pkl"),
+           "frame_features_path": os.path.join(ag, "frame_features"),
+           "save_path": str(tmp_path / "out_dsg")}
+    cfg_path = str(tmp_path / "cfg_dsg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    _load_tool("train_STTran")
+    _load_tool("test_STTran")
+    dsg = _load_tool("train_DSG_DETR")
+    monkeypatch.setattr(sys, "argv", ["train_DSG_DETR.py", "--cfg", cfg_path])
+    dsg.main()
+    assert os.path.isdir(os.path.join(cfg["save_path"], "ckpt", "0"))
