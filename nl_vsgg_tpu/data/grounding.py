@@ -47,18 +47,43 @@ class FrameDetections:
     feats: np.ndarray    # (D, FEAT_DIM)
 
 
-def load_frame_features(frame_paths: Sequence[str]) -> list[FrameDetections]:
-    """Read dets.npy/feat.npy per frame directory (assign_pseudo_label.py:27-45)."""
+def load_frame_features(frame_paths: Sequence[str], use_native: bool = True,
+                        feat_dim: int = FEAT_DIM,
+                        max_dets: int = 128) -> list[FrameDetections]:
+    """Read dets.npy/feat.npy per frame directory (assign_pseudo_label.py:27-45).
+
+    feat.npy files are plain float32 matrices and go through the native C++
+    parallel reader when available (utils/native_io); dets.npy are pickled
+    object arrays and stay on np.load.
+    """
     import os
+    dets_all = [np.load(os.path.join(p, "dets.npy"), allow_pickle=True).tolist()
+                for p in frame_paths]
+    feats_all: list[np.ndarray]
+    if use_native and frame_paths:
+        from ..utils.native_io import get_lib, read_feat_batch
+        if get_lib() is not None:
+            rows = max((len(d) for d in dets_all), default=1) or 1
+            try:
+                padded, counts = read_feat_batch(
+                    [os.path.join(p, "feat.npy") for p in frame_paths],
+                    feat_dim, max_rows_each=rows)
+                feats_all = [padded[i, :int(counts[i])]
+                             for i in range(len(frame_paths))]
+            except IOError:  # odd dtype/shape: fall back to numpy
+                use_native = False
+        else:
+            use_native = False
+    if not use_native:
+        feats_all = [np.asarray(np.load(os.path.join(p, "feat.npy")), np.float32)
+                     for p in frame_paths]
     out = []
-    for p in frame_paths:
-        dets = np.load(os.path.join(p, "dets.npy"), allow_pickle=True).tolist()
-        feat = np.load(os.path.join(p, "feat.npy"))
+    for dets, feat in zip(dets_all, feats_all):
         out.append(FrameDetections(
             classes=np.asarray([d["class"] for d in dets], np.int64),
             confs=np.asarray([float(d["conf"]) for d in dets], np.float32),
             rects=np.asarray([d["rect"] for d in dets], np.float32).reshape(-1, 4),
-            feats=np.asarray(feat, np.float32),
+            feats=feat,
         ))
     return out
 

@@ -64,7 +64,8 @@ def build_model(cfg, tax):
 
 def ground_video(ds, idx, cfg, is_train, buckets):
     frames = load_frame_features(
-        [os.path.join(cfg.frame_features_path, f) for f in ds.video_list[idx]])
+        [os.path.join(cfg.frame_features_path, f) for f in ds.video_list[idx]],
+        use_native=cfg.use_native_io, feat_dim=cfg.feat_dim)
     n_hint = sum(len(f.classes) for f in frames)
     bb = pick_bucket(buckets.max_boxes, n_hint)
     br = pick_bucket(buckets.max_rels, n_hint)
