@@ -1,3 +1,3 @@
-from . import adv, negatives, tcs, triplets
+from . import adv, clip_jax, negatives, tcs, tokenizer, triplets
 
-__all__ = ["adv", "negatives", "tcs", "triplets"]
+__all__ = ["adv", "clip_jax", "negatives", "tcs", "tokenizer", "triplets"]
