@@ -95,6 +95,10 @@ class AttrRCNNModule(nn.Module):
     def box(self, c4_single: jnp.ndarray, boxes: jnp.ndarray):
         return self.box_head(c4_single, boxes)
 
+    def c5(self, crops: jnp.ndarray) -> jnp.ndarray:
+        """C5 head over already-pooled (N, 14, 14, 1024) crops."""
+        return self.box_head.head_apply(crops)
+
 
 class AttrRCNNJax:
     """Inference facade binding params to jitted pipelines."""
@@ -157,9 +161,20 @@ class AttrRCNNJax:
 
             return jax.vmap(per_frame)(c4, logits, deltas)
 
+        def box_feats_frames(variables, images, boxes, frame_idx):
+            """RoI features for boxes spread across frames: one backbone pass
+            over all frames + one frame-indexed RoIAlign + one C5 pass."""
+            from ..ops.roi_align_mm import roi_align_mm_frames
+            c4 = apply(variables, images, method="features")
+            crops = roi_align_mm_frames(c4, boxes, frame_idx,
+                                        output_size=(14, 14),
+                                        spatial_scale=1.0 / 16)
+            return apply(variables, crops, method="c5")
+
         self._box_feats = jax.jit(box_feats)
         self._detect = jax.jit(detect)
         self._detect_batch = jax.jit(detect_batch)
+        self._box_feats_frames = jax.jit(box_feats_frames)
 
     @classmethod
     def create(cls, rng=None, groups: int = 32, **kw) -> "AttrRCNNJax":
@@ -179,6 +194,28 @@ class AttrRCNNJax:
             img, scale, _ = preprocess(image)
         feats = self._box_feats(self.variables, jnp.asarray(img)[None],
                                 jnp.asarray(boxes_xyxy, jnp.float32) * scale)
+        return np.asarray(feats)
+
+    def extract_box_features_frames(self, frame_images_bgr: list[np.ndarray],
+                                    boxes_xyxy: np.ndarray,
+                                    frame_idx: np.ndarray) -> np.ndarray:
+        """(R, 7, 7, 2048) RoI features for boxes scattered across frames —
+        ONE backbone pass + ONE frame-indexed RoIAlign + ONE C5 pass for the
+        whole video (replaces per-frame extraction loops)."""
+        h = max(i.shape[0] for i in frame_images_bgr)
+        w = max(i.shape[1] for i in frame_images_bgr)
+        s = compute_scale(h, w)
+        hw = (int(np.ceil(h * s / 32)) * 32, int(np.ceil(w * s / 32)) * 32)
+        imgs, scales = [], []
+        for img in frame_images_bgr:
+            p, sc, _ = preprocess(img, bucket_hw=hw)
+            imgs.append(p)
+            scales.append(sc)
+        scale_per_box = np.asarray(scales, np.float32)[np.asarray(frame_idx)]
+        boxes = np.asarray(boxes_xyxy, np.float32) * scale_per_box[:, None]
+        feats = self._box_feats_frames(
+            self.variables, jnp.asarray(np.stack(imgs)), jnp.asarray(boxes),
+            jnp.asarray(frame_idx, jnp.int32))
         return np.asarray(feats)
 
     def detect_video(self, frame_images_bgr: list[np.ndarray]) -> list[dict]:

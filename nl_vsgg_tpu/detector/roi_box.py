@@ -45,12 +45,18 @@ class RoIBoxHead(nn.Module):
 
     groups: int = 32
 
-    @nn.compact
+    def setup(self):
+        self.head = ResNeXtC5Head(self.groups)
+        self.predictor = BoxPredictor()
+
     def __call__(self, c4: jnp.ndarray, boxes: jnp.ndarray):
         crops = roi_align_mm(c4, boxes, output_size=(14, 14), spatial_scale=1.0 / 16)
-        feats77 = ResNeXtC5Head(self.groups, name="head")(crops)  # (N, 7, 7, 2048)
-        logits, deltas = BoxPredictor(name="predictor")(feats77)
+        feats77 = self.head(crops)  # (N, 7, 7, 2048)
+        logits, deltas = self.predictor(feats77)
         return logits, deltas, feats77
+
+    def head_apply(self, crops: jnp.ndarray) -> jnp.ndarray:
+        return self.head(crops)
 
 
 @partial(jax.jit, static_argnames=("max_dets", "min_dets"))
