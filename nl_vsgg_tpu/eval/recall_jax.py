@@ -219,3 +219,36 @@ def recall_video_semi(gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx, rel_mask,
     frames = jnp.arange(num_frames)
     recalls = jax.vmap(one)(frames, gt_trip, gt_boxes8, gt_mask)
     return recalls, gt_mask.any(-1)
+
+
+@partial(jax.jit, static_argnames=("ks", "num_frames", "num_predicates"))
+def mean_recall_video(gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx, rel_mask,
+                      att_probs, sp_probs, con_probs, boxes, classes,
+                      obj_scores, num_frames: int, num_predicates: int = 26,
+                      ks: tuple[int, ...] = (10, 20, 50)):
+    """Per-frame per-predicate-class (hit, count) tensors for the mean-recall
+    collectors (eval/recall.py::_MeanRecallCollector semantics, including the
+    reference's class-0 overall accumulator): returns
+    (hits (F, K, P), counts (F, P)) to aggregate on host.
+    """
+
+    def one(frame, gt_t, gt_b, gt_m):
+        pt, pb, ps, pm = assemble_with_constraint(
+            pair_idx, im_idx, rel_mask, frame, att_probs, sp_probs, con_probs,
+            boxes, classes, obj_scores)
+        order = jnp.argsort(jnp.where(pm, -ps, jnp.inf))
+        match = _triplet_match(gt_t, gt_b, gt_m, pt[order], pb[order], pm[order])
+        labels = gt_t[:, 1]
+        onehot = jax.nn.one_hot(labels, num_predicates) * gt_m[:, None]
+        counts = onehot.sum(0)
+        counts = counts.at[0].add(gt_m.sum())  # class-0 quirk (:82-85)
+        hits = []
+        for k in ks:
+            hit = match[:, :k].any(1) & gt_m
+            h = (onehot * hit[:, None]).sum(0)
+            hits.append(h.at[0].add(hit.sum()))
+        return jnp.stack(hits), counts
+
+    frames = jnp.arange(num_frames)
+    hits, counts = jax.vmap(one)(frames, gt_trip, gt_boxes8, gt_mask)
+    return hits, counts

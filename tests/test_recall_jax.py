@@ -120,3 +120,40 @@ def test_semi_parity(rng):
         for ki, k in enumerate((10, 20, 50)):
             np.testing.assert_allclose(got[:, ki], host.semi_recall[k], atol=1e-6,
                                        err_msg=f"trial {trial} semi R@{k}")
+
+
+def test_mean_recall_parity(rng):
+    from nl_vsgg_tpu.eval.recall_jax import mean_recall_video
+    host = SceneGraphEvaluator(mode="sgdet")
+    acc = [[[] for _ in range(26)] for _ in (10, 20, 50)]
+    for trial in range(3):
+        gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+        host.evaluate_scene_graph(gt, pred)
+        ev = SceneGraphEvaluator(mode="sgdet")
+        trip, boxes8, mask = _pack_gt(gt, ev)
+        att = np.asarray(pred["attention_distribution"], np.float32)
+        att = np.exp(att - att.max(1, keepdims=True))
+        att /= att.sum(1, keepdims=True)
+        hits, counts = mean_recall_video(
+            jnp.asarray(trip), jnp.asarray(boxes8), jnp.asarray(mask),
+            jnp.asarray(pred["pair_idx"], jnp.int32),
+            jnp.asarray(pred["im_idx"], jnp.int32),
+            jnp.ones(len(pred["im_idx"]), bool),
+            jnp.asarray(att),
+            jnp.asarray(pred["spatial_distribution"], jnp.float32),
+            jnp.asarray(pred["contacting_distribution"], jnp.float32),
+            jnp.asarray(pred["boxes"][:, 1:], jnp.float32),
+            jnp.asarray(pred["pred_labels"], jnp.int32),
+            jnp.asarray(pred["pred_scores"], jnp.float32),
+            num_frames=len(gt))
+        hits, counts = np.asarray(hits), np.asarray(counts)
+        for f in range(len(gt)):
+            for ki in range(3):
+                for c in range(26):
+                    if counts[f, c] > 0:
+                        acc[ki][c].append(hits[f, ki, c] / counts[f, c])
+    host.calculate_mean_recall()
+    for ki, k in enumerate((10, 20, 50)):
+        ours_list = [float(np.mean(a)) if a else 0.0 for a in acc[ki]]
+        np.testing.assert_allclose(ours_list, host.mean_recall.recall_list[k],
+                                   atol=1e-6, err_msg=f"mR@{k}")
