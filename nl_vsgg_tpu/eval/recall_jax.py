@@ -252,3 +252,58 @@ def mean_recall_video(gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx, rel_mask,
     frames = jnp.arange(num_frames)
     hits, counts = jax.vmap(one)(frames, gt_trip, gt_boxes8, gt_mask)
     return hits, counts
+
+
+def pack_gt_video(gt_annotation, evaluator, g_max: int = 32,
+                  f_bucket: int | None = None):
+    """AGTest-style per-frame GT lists -> padded (F, G, ...) triplet tensors
+    (uses the host evaluator's GT-graph builder for exact semantics)."""
+    import numpy as np
+    F = len(gt_annotation) if f_bucket is None else f_bucket
+    trip = np.zeros((F, g_max, 3), np.int32)
+    boxes8 = np.zeros((F, g_max, 8), np.float32)
+    mask = np.zeros((F, g_max), bool)
+    for f, frame_gt in enumerate(gt_annotation):
+        if f >= F:
+            break
+        e = evaluator._gt_entry(frame_gt)
+        rels = e["gt_relations"]
+        cls = e["gt_classes"].astype(np.int32)
+        bx = e["gt_boxes"].astype(np.float32)
+        n = min(len(rels), g_max)
+        for i in range(n):
+            s, o, p = rels[i]
+            trip[f, i] = [cls[s], p, cls[o]]
+            boxes8[f, i, :4] = bx[s]
+            boxes8[f, i, 4:] = bx[o]
+        mask[f, :n] = True
+    return trip, boxes8, mask
+
+
+def device_eval_video(entry, pred: dict, gt_annotation, evaluator,
+                      g_max: int = 32, f_bucket: int | None = None) -> dict:
+    """All three on-device R@K variants for one video's padded Entry + model
+    outputs. Returns {'recall': (F_valid, 3), 'recall_nogc': ..., 'semi': ...}
+    restricted to frames that have GT."""
+    import numpy as np
+    trip, boxes8, mask = pack_gt_video(gt_annotation, evaluator, g_max, f_bucket)
+    att = np.asarray(pred["attention_distribution"], np.float32)
+    att = np.exp(att - att.max(-1, keepdims=True))
+    att = att / att.sum(-1, keepdims=True)
+    args = (jnp.asarray(trip), jnp.asarray(boxes8), jnp.asarray(mask),
+            jnp.asarray(entry.pair_idx, jnp.int32),
+            jnp.asarray(entry.im_idx, jnp.int32),
+            jnp.asarray(entry.rel_mask),
+            jnp.asarray(att),
+            jnp.asarray(pred["spatial_distribution"], jnp.float32),
+            jnp.asarray(pred["contacting_distribution"], jnp.float32),
+            jnp.asarray(entry.boxes, jnp.float32),
+            jnp.asarray(pred["pred_labels"], jnp.int32),
+            jnp.asarray(pred["pred_scores"], jnp.float32))
+    F = trip.shape[0]
+    rc, has = recall_video_with_constraint(*args, num_frames=F)
+    ng, _ = recall_video_no_constraint(*args, num_frames=F)
+    sm, _ = recall_video_semi(*args, num_frames=F)
+    sel = np.asarray(has)
+    return {"recall": np.asarray(rc)[sel], "recall_nogc": np.asarray(ng)[sel],
+            "semi": np.asarray(sm)[sel]}

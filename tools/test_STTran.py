@@ -70,6 +70,9 @@ def main():
     p.add_argument("--cfg", dest="cfg_file", default=None)
     p.add_argument("--model_path", required=True, help="Orbax checkpoint dir")
     p.add_argument("--max_videos", type=int, default=0)
+    p.add_argument("--device_eval", action="store_true",
+                   help="additionally score R@K on-device (fast path; the "
+                        "host evaluator remains the reported source of truth)")
     args = p.parse_args()
 
     cfg = load_config(args.cfg_file)
@@ -97,6 +100,7 @@ def main():
     eval_step = jax.jit(make_eval_step(model))
 
     evaluator = SceneGraphEvaluator(mode=cfg.mode, taxonomy=tax)
+    device_recalls: list = []
     n = len(ds_test) if not args.max_videos else min(args.max_videos, len(ds_test))
     for i in range(n):
         e = get_entry(i)
@@ -111,8 +115,18 @@ def main():
                   box_mask=np.asarray(e.box_mask), labels=np.asarray(e.labels),
                   scores=np.asarray(e.scores))
         evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], pd)
+        if args.device_eval:
+            from nl_vsgg_tpu.eval.recall_jax import device_eval_video
+            dr = device_eval_video(e, pd, ds_test.gt_annotations[i], evaluator,
+                                   f_bucket=32)
+            device_recalls.append(dr)
     evaluator.calculate_mean_recall()
     evaluator.print_stats(logger)
+    if args.device_eval and device_recalls:
+        for name in ("recall", "recall_nogc", "semi"):
+            r = np.concatenate([d[name] for d in device_recalls])
+            logger.info("device %s: R@10 %.4f R@20 %.4f R@50 %.4f"
+                        % (name, *r.mean(0)))
 
 
 if __name__ == "__main__":
