@@ -17,9 +17,9 @@ Rebuilds the live weak-supervision path of the reference
      features from a pluggable extractor (the VinVL-JAX detector supplies it;
      zeros reproduce `union_box_feature: False`).
 
-Dead reference code intentionally not rebuilt: the temporal pseudo-grounding
-family (lib/assign_pseudo_label.py:224-891) has no call site in any entry
-point (verified by grep); `convert_data4ours` (:1003) likewise.
+The temporal pseudo-grounding family (lib/assign_pseudo_label.py:224-891,
+dead in the reference's entry points) lives in data/temporal_grounding.py;
+`convert_data4ours` (:1003) is dead and not rebuilt.
 
 All of this is host-side data preparation (ragged pickles/numpy in, fixed
 shapes out); the TPU sees only the padded Entry.
@@ -161,8 +161,8 @@ def assign_labels_video(frames: Sequence[FrameDetections], gt_annotation,
     """assign_label_to_proposals_by_dict_for_video (:894-909)."""
     oi_to_ag, ag_to_oi = schema.load_oi_ag_maps(assets_dir)
     person_ids = frozenset(ag_to_oi[1])
-    return [assign_labels_frame(f, gt_annotation[i], is_train, person_ids,
-                                oi_to_ag, pseudo_way)
+    return [assign_labels_frame_fast(f, gt_annotation[i], is_train, person_ids,
+                                     oi_to_ag, pseudo_way)
             for i, f in enumerate(frames)]
 
 
@@ -311,3 +311,69 @@ def entry_to_pred(entry: Entry | None) -> dict:
         "spatial_distribution": np.asarray(entry.spatial_gt),
         "contacting_distribution": np.asarray(entry.contacting_gt),
     }
+
+
+_MULTI_ORDER_CACHE: dict = {}
+
+
+def _mapped_order(ag_ids: tuple[int, ...], gt_classes: frozenset[int],
+                  is_train: bool) -> tuple[int, ...]:
+    """Per-det mapped-class emission order. Must match the reference's
+    `list(set(ag_ids) & set(gt))` CPython set-iteration order exactly
+    (assign_pseudo_label.py:128); cached per (ids, gt-set) combination."""
+    if not is_train:
+        return ag_ids
+    key = (ag_ids, gt_classes)
+    got = _MULTI_ORDER_CACHE.get(key)
+    if got is None:
+        got = tuple(set(ag_ids) & set(gt_classes))
+        _MULTI_ORDER_CACHE[key] = got
+    return got
+
+
+def assign_labels_frame_fast(frame: FrameDetections, gt_frame: list[dict],
+                             is_train: bool, person_ids: frozenset[int],
+                             oi_to_ag: dict[int, list[int]],
+                             pseudo_way: int = 0) -> GroundedFrame:
+    """Vectorized assign_labels_frame: one isin/argmax for person selection,
+    numpy fan-out for the (overwhelmingly single-mapped) object classes,
+    exact row-order parity with the loop version (fuzz-tested)."""
+    classes = frame.classes.copy()
+    classes[classes == 1594] = 1593
+    person_arr = np.fromiter(person_ids, np.int64)
+    is_person = np.isin(classes, person_arr)
+    if not is_person.any():
+        if pseudo_way == 0:
+            return GroundedFrame(has_person=False)
+        person_idx = 0
+    else:
+        pconfs = np.where(is_person, frame.confs, -np.inf)
+        person_idx = int(pconfs.argmax())
+
+    gt_classes = frozenset(int(g["class"]) for g in gt_frame if "class" in g)
+    keep = ~is_person
+    keep[person_idx] = False
+    rows = np.where(keep)[0]
+    out_rows, out_cls = [], []
+    for i in rows:  # tiny loop over kept dets; mapping itself is dict+cache
+        ag = oi_to_ag.get(int(classes[i]))
+        if not ag:
+            continue
+        for c in _mapped_order(tuple(ag), gt_classes, is_train):
+            out_rows.append(i)
+            out_cls.append(c)
+    out_rows = np.asarray(out_rows, np.int64)
+    k = len(out_rows)
+    return GroundedFrame(
+        has_person=True,
+        person_rect=frame.rects[person_idx],
+        person_conf=float(frame.confs[person_idx]),
+        person_feat=frame.feats[person_idx],
+        obj_classes=np.asarray(out_cls, np.int64).reshape(k),
+        obj_confs=frame.confs[out_rows].astype(np.float32) if k
+        else np.zeros(0, np.float32),
+        obj_rects=frame.rects[out_rows].reshape(k, 4) if k
+        else np.zeros((0, 4), np.float32),
+        obj_feats=frame.feats[out_rows] if k
+        else np.zeros((0, frame.feats.shape[-1]), np.float32),
+    )

@@ -181,3 +181,41 @@ def test_entry_to_pred_oracle_hits_full_recall(rng):
     ev = SceneGraphEvaluator(mode="sgdet", taxonomy=tax)
     ev.evaluate_scene_graph(gt, pred)
     assert ev.recall[50][0] == 1.0
+
+
+def test_fast_label_assignment_matches_loop(rng):
+    """Vectorized assign_labels_frame_fast == the loop version, including
+    multi-mapped class emission order, over fuzzed frames."""
+    from nl_vsgg_tpu.data.grounding import (assign_labels_frame,
+                                            assign_labels_frame_fast)
+    oi_to_ag, ag_to_oi = schema.load_oi_ag_maps(ASSETS)
+    person_ids = frozenset(ag_to_oi[1])
+    multi = [k for k, v in oi_to_ag.items() if len(v) > 1]
+    for trial in range(20):
+        dets_list, feats_list, gt = _synthetic_video(rng, n_frames=1, n_dets=10)
+        dets = dets_list[0]
+        # inject multi-mapped classes to stress emission order
+        for j in range(3):
+            dets[j]["class"] = int(rng.choice(multi))
+        # ensure the GT list covers some of the multimapped targets
+        gt[0].append({"class": int(oi_to_ag[dets[0]["class"]][0]),
+                      "bbox": np.zeros(4),
+                      "attention_relationship": torch.tensor([0]),
+                      "spatial_relationship": torch.tensor([0]),
+                      "contacting_relationship": torch.tensor([0])})
+        frame = FrameDetections(
+            classes=np.asarray([d["class"] for d in dets], np.int64),
+            confs=np.asarray([float(d["conf"]) for d in dets], np.float32),
+            rects=np.stack([d["rect"] for d in dets]),
+            feats=feats_list[0])
+        for is_train in (True, False):
+            a = assign_labels_frame(frame, gt[0], is_train, person_ids, oi_to_ag)
+            b = assign_labels_frame_fast(frame, gt[0], is_train, person_ids, oi_to_ag)
+            assert a.has_person == b.has_person
+            if not a.has_person:
+                continue
+            np.testing.assert_array_equal(a.person_rect, b.person_rect)
+            np.testing.assert_array_equal(a.obj_classes, b.obj_classes)
+            np.testing.assert_array_equal(a.obj_rects, b.obj_rects)
+            np.testing.assert_array_equal(a.obj_confs, b.obj_confs)
+            np.testing.assert_array_equal(a.obj_feats, b.obj_feats)
