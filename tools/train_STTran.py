@@ -121,6 +121,47 @@ def main():
     eval_step = jax.jit(make_eval_step(model))
     scheduler = PlateauScheduler(cfg.lr)
 
+    # multi-device: shard the video batch over the mesh 'data' axis, params
+    # per the model-parallel rules; XLA inserts the gradient all-reduce
+    mesh = None
+    if len(jax.devices()) > 1:
+        from nl_vsgg_tpu.parallel import (batch_sharding, make_mesh,
+                                          param_shardings, replicated)
+        model_par = cfg.mesh.model
+        data_par = (len(jax.devices()) // model_par if cfg.mesh.data == -1
+                    else cfg.mesh.data)
+        mesh = make_mesh(data=data_par, model=model_par)
+        rep = replicated(mesh)
+        state = state.replace(
+            params=jax.tree.map(jax.device_put, state.params,
+                                param_shardings(mesh, state.params)),
+            batch_stats=jax.tree.map(lambda x: jax.device_put(x, rep),
+                                     state.batch_stats),
+            opt_state=jax.tree.map(lambda x: jax.device_put(x, rep)
+                                   if hasattr(x, "shape") else x, state.opt_state),
+            step=jax.device_put(state.step, rep),
+            skipped=jax.device_put(state.skipped, rep),
+        )
+        _bs = batch_sharding(mesh)
+        logger.info(f"mesh: data={data_par} model={model_par}")
+        if cfg.batch_videos % data_par:
+            logger.warning(
+                f"batch_videos={cfg.batch_videos} not a multiple of the data "
+                f"axis ({data_par}): short batches are zero-padded, which "
+                f"dilutes the batch-mean loss — prefer a multiple")
+
+    def place_batch(batch):
+        if mesh is None:
+            return batch
+        # pad the video axis to a multiple of the data axis
+        b = batch.num_frames.shape[0]
+        need = (-b) % data_par
+        if need:
+            batch = jax.tree.map(
+                lambda x: jnp.concatenate(
+                    [x, jnp.zeros((need,) + x.shape[1:], x.dtype)]), batch)
+        return jax.tree.map(lambda x: jax.device_put(x, _bs), batch)
+
     n_train = len(ds_train) if not args.max_videos else min(args.max_videos, len(ds_train))
     n_test = len(ds_test) if not args.max_videos else min(args.max_videos, len(ds_test))
 
@@ -139,6 +180,7 @@ def main():
         for bucket_entries in bucket_batches(iter(prefetcher), cfg.batch_videos):
             n_seen += len(bucket_entries)
             batch = stack_entries([jax.tree.map(jnp.asarray, e) for e in bucket_entries])
+            batch = place_batch(batch)
             state, m = train_step(state, batch, jax.random.fold_in(rng, global_step))
             global_step += 1
             if global_step % 100 == 0:
