@@ -32,7 +32,7 @@ WARMUP, ITERS = 3, 20
 CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 
-def bench_ours(batch_videos: int = 16) -> float:
+def bench_ours(batch_videos: int = 64) -> float:
     """Batched (vmap) inference — the deployment shape on one chip."""
     import jax
     from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
