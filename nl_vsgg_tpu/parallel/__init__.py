@@ -1,5 +1,6 @@
 from .mesh import (batch_sharding, make_mesh, param_shardings, replicated,
                    shard_batch, shard_state)
+from .sttran_sp import sttran_transformer_sharded
 
 __all__ = ["batch_sharding", "make_mesh", "param_shardings", "replicated",
-           "shard_batch", "shard_state"]
+           "shard_batch", "shard_state", "sttran_transformer_sharded"]
