@@ -32,9 +32,35 @@ WARMUP, ITERS = 3, 20
 CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 
-def bench_ours(batch_videos: int = 64) -> float:
-    """Batched (vmap) inference — the deployment shape on one chip."""
+# Approximate peak TFLOP/s by device_kind, used only as a sanity ceiling for
+# the implied-FLOPs assertion (generous: bf16 peak, since XLA runs fp32
+# matmuls as bf16 passes on TPU by default). Unknown kinds fall back to the
+# largest entry.
+PEAK_TFLOPS = {
+    "TPU v2": 46, "TPU v3": 123, "TPU v4": 275, "TPU v4 lite": 138,
+    "TPU v5 lite": 197, "TPU v5e": 197, "TPU v5": 459, "TPU v5p": 459,
+    "TPU v6 lite": 918, "TPU v6e": 918, "TPU7x": 2307, "cpu": 1,
+}
+
+
+def bench_ours(batch_videos: int = 64) -> dict:
+    """Batched (vmap) inference — the deployment shape on one chip.
+
+    Measurement notes (round-2 fix): on the tunneled `axon` platform
+    `jax.block_until_ready` returns before the computation actually runs, so
+    naive timing measured dispatch, not execution (round 1 reported a
+    physically impossible 11-15M frames/s). Here each timed block is ONE jit
+    call containing a lax.fori_loop whose carry feeds iteration i's input from
+    iteration i-1's output (so XLA cannot overlap or elide iterations), and
+    the block ends with a host fetch of the scalar carry — a real
+    device->host transfer that cannot complete before the work does. The
+    result is cross-checked against the compiled HLO's own FLOP count: we
+    assert implied TFLOP/s <= the chip's peak.
+    """
     import jax
+    import jax.numpy as jnp
+    from jax import lax
+
     from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
     from nl_vsgg_tpu.models.sttran import STTran
     from nl_vsgg_tpu.train import stack_entries
@@ -49,20 +75,52 @@ def bench_ours(batch_videos: int = 64) -> float:
     one = jax.tree.map(lambda x: x[0], batch)
     variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
                            one, train=False)
-    fwd = jax.jit(lambda v, b: jax.vmap(lambda e: model.apply(v, e, train=False))(b))
+
+    def fwd(v, b):
+        return jax.vmap(lambda e: model.apply(v, e, train=False))(b)
+
+    def one_pass(v, b, carry):
+        # carry*1e-30 is numerically invisible but makes iteration i depend
+        # on iteration i-1, forcing serial real execution inside the loop
+        b = b.replace(features=b.features + carry * 1e-30)
+        out = fwd(v, b)
+        s = (jnp.sum(out["attention_distribution"]) +
+             jnp.sum(out["spatial_logits"]) + jnp.sum(out["contacting_logits"]))
+        return carry + s * 1e-30
+
+    @jax.jit
+    def chained(v, b):
+        return lax.fori_loop(0, ITERS, lambda i, c: one_pass(v, b, c),
+                             jnp.zeros((), jnp.float32))
+
+    # FLOP cost of ONE forward from the compiled HLO (not wall clock)
+    flops_one = float(jax.jit(fwd).lower(variables, batch).compile()
+                      .cost_analysis()["flops"])
+
     for _ in range(WARMUP):
-        out = fwd(variables, batch)
-    jax.block_until_ready(out)
-    # median of repeated timed blocks: the shared chip shows ~2x run-to-run
-    # variance, the median is stable
-    rates = []
+        float(chained(variables, batch))  # warmup with the same forced fetch
+    times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = fwd(variables, batch)
-        jax.block_until_ready(out)
-        rates.append(batch_videos * N_FRAMES * ITERS / (time.perf_counter() - t0))
-    return float(np.median(rates))
+        float(chained(variables, batch))  # host fetch of the chained scalar
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))  # median: shared chip, ~2x run-to-run variance
+
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "unknown")
+    peak = PEAK_TFLOPS.get(kind, max(PEAK_TFLOPS.values()))
+    implied_tflops = flops_one * ITERS / dt / 1e12
+    assert implied_tflops <= peak, (
+        f"implied {implied_tflops:.0f} TFLOP/s exceeds {kind} peak {peak} — "
+        f"timing is not measuring real execution")
+    return {
+        "frames_per_sec": batch_videos * N_FRAMES * ITERS / dt,
+        "implied_tflops": implied_tflops,
+        "mfu": implied_tflops / peak,
+        "device_kind": kind,
+        "flops_per_call": flops_one,
+        "sec_per_call": dt / ITERS,
+    }
 
 
 def bench_reference() -> float | None:
@@ -158,25 +216,39 @@ def bench_reference() -> float | None:
 
 
 def main():
-    ours = bench_ours()
+    res = bench_ours()
+    ours = res["frames_per_sec"]
+    shapes = dict(frames=N_FRAMES, boxes=BUCKET_BOXES,
+                  rels=BUCKET_RELS, feat_dim=FEAT_DIM)
     baseline = None
     if os.path.isfile(CACHE):
         try:
-            baseline = json.load(open(CACHE)).get("frames_per_sec")
+            cached = json.load(open(CACHE))
+            # re-measure if the bench shapes changed since the cache was written
+            if cached.get("shapes") == shapes:
+                baseline = cached.get("frames_per_sec")
         except Exception:
             baseline = None
     if baseline is None:
         baseline = bench_reference()
         if baseline is not None:
             json.dump({"frames_per_sec": baseline,
-                       "note": "torch reference lib/sttran.py on this host (CPU)",
-                       "shapes": dict(frames=N_FRAMES, boxes=BUCKET_BOXES,
-                                      rels=BUCKET_RELS, feat_dim=FEAT_DIM)},
+                       "note": "torch reference lib/sttran.py on this host "
+                               "(CPU, single video per forward)",
+                       "shapes": shapes},
                       open(CACHE, "w"), indent=1)
     vs = (ours / baseline) if baseline else None
+    print(f"# device={res['device_kind']} "
+          f"implied={res['implied_tflops']:.1f} TFLOP/s "
+          f"mfu={res['mfu']:.1%} "
+          f"({res['flops_per_call'] / 1e12:.2f} TFLOP/call, "
+          f"{res['sec_per_call'] * 1e3:.2f} ms/call) "
+          f"vs_baseline is TPU-batched / torch-CPU-single-video", file=sys.stderr)
     print(json.dumps({"metric": "sttran_sgdet_inference_frames_per_sec_per_chip",
                       "value": round(ours, 2), "unit": "frames/sec",
-                      "vs_baseline": round(vs, 3) if vs else None}))
+                      "vs_baseline": round(vs, 3) if vs else None,
+                      "implied_tflops": round(res["implied_tflops"], 2),
+                      "mfu": round(res["mfu"], 4)}))
 
 
 if __name__ == "__main__":
