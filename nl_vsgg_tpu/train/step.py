@@ -11,7 +11,9 @@ all-reduce automatically.
 BatchNorm note: the reference computes BN statistics per step over its single
 video. Under vmap each video gets its own statistics (identical math), and the
 running averages are updated with the across-video mean of the per-video
-statistics — which for batch=1 is exactly the reference update.
+statistics — which for batch=1 is exactly the reference update. Both the loss
+mean and the stats mean are weighted by a per-video validity flag
+(box_mask.any()) so all-zero padded videos (mesh fill) contribute nothing.
 
 The NaN/empty-video guard (lib/utils.py:3-12, applied per step in
 tools/train_STTran.py:191) is a branchless `where`: invalid steps leave
@@ -41,6 +43,18 @@ def make_train_step(model, tx, bce: bool = True) -> Callable:
     def train_step(state: TrainState, batch: Entry, rng: jax.Array):
         n_videos = batch.num_frames.shape[0]
         keys = jax.random.split(rng, n_videos)
+        # per-video validity: all-zero padded videos (added by place_batch to
+        # fill the data axis) carry no boxes; they must not dilute the batch
+        # loss mean nor pull BatchNorm running stats toward zero
+        vid_w = batch.box_mask.any(-1).astype(jnp.float32)
+        denom = jnp.maximum(vid_w.sum(), 1.0)
+
+        def wmean(x):
+            w = vid_w.reshape((-1,) + (1,) * (x.ndim - 1))
+            # where (not multiply): a NaN from a padded video must not poison
+            # the sum (NaN * 0 == NaN); NaNs from real videos still propagate
+            # into the valid-step guard below
+            return jnp.where(w > 0, x * w, 0.0).sum(0) / denom
 
         def loss_fn(params):
             def per_video(entry: Entry, key: jax.Array):
@@ -53,8 +67,8 @@ def make_train_step(model, tx, bce: bool = True) -> Callable:
                 return losses, updates["batch_stats"]
 
             losses, new_stats = jax.vmap(per_video)(batch, keys)
-            mean_losses = jax.tree.map(jnp.mean, losses)
-            new_stats = jax.tree.map(lambda x: x.mean(0), new_stats)
+            mean_losses = jax.tree.map(wmean, losses)
+            new_stats = jax.tree.map(wmean, new_stats)
             return mean_losses["total"], (mean_losses, new_stats)
 
         (total, (losses, new_stats)), grads = jax.value_and_grad(

@@ -139,6 +139,39 @@ class TestTrainStep:
         # params untouched (lib/utils.py NaN/empty guard semantics)
         jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), p0, state.params)
 
+    def test_padded_videos_do_not_dilute(self, rng):
+        """A batch zero-padded along the video axis (place_batch mesh fill)
+        must step to exactly the same params/batch_stats as the unpadded
+        batch: the loss mean and BN-stat mean are weighted by per-video
+        validity. (jax.random.split(k, n)[i] is independent of n, so video 0
+        draws identical dropout keys in both runs.)"""
+        from nl_vsgg_tpu.data.entry import empty_entry
+
+        import optax
+
+        e = _entry(rng)
+        model = STTran(mode="sgdet", feat_dim=FEAT, dec_layer_num=1)
+        # SGD, not AdamW: Adam's m/sqrt(v) amplifies float32 reduction-order
+        # noise on near-zero grads into ~1e-4 param diffs between the B=1 and
+        # B=2 compiled programs; with SGD the param diff is lr * grad diff,
+        # while actual dilution would still show as an O(lr) error
+        tx = optax.sgd(1e-3)
+        state, tx = create_train_state(model, e, jax.random.key(0), tx=tx)
+        step = jax.jit(make_train_step(model, tx))
+
+        pad = empty_entry(e.n_boxes, e.n_rels, feat_dim=FEAT)
+        real = stack_entries([jax.tree.map(jnp.asarray, e)])
+        padded = stack_entries([jax.tree.map(jnp.asarray, x) for x in (e, pad)])
+        s1, m1 = step(state, real, jax.random.key(7))
+        s2, m2 = step(state, padded, jax.random.key(7))
+        assert float(m2["valid"]) == 1.0
+        np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=1e-6)
+        # rtol+atol 1e-5: XLA fuses the B=1 and B=2 reductions differently,
+        # leaving float32 reduction-order noise (dilution would be O(lr))
+        close = lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+        jax.tree.map(close, s1.params, s2.params)
+        jax.tree.map(close, s1.batch_stats, s2.batch_stats)
+
     def test_multichip_data_model_parallel(self, rng):
         from nl_vsgg_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated
         assert len(jax.devices()) == 8
