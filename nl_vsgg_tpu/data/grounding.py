@@ -27,6 +27,7 @@ shapes out); the TPU sees only the padded Entry.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable, Sequence
 
@@ -178,12 +179,17 @@ def create_dis(conf: np.ndarray, idx: np.ndarray, num: int = 36) -> np.ndarray:
 # -> (K, POOL, POOL, FEAT_DIM). None => zeros (union_box_feature: False).
 UnionFeatFn = Callable[[int, np.ndarray], np.ndarray]
 
+# Truncation report signature: (n_boxes_dropped, n_rels_dropped) called when a
+# video overflows its padding bucket. None => silent (tools pass a counter).
+TruncateFn = Callable[[int, int], None]
+
 
 def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool,
                 bucket_boxes: int, bucket_rels: int,
                 union_feat_fn: UnionFeatFn | None = None,
                 feat_dim: int = FEAT_DIM,
-                compute_spatial_masks: bool = True) -> Entry | None:
+                compute_spatial_masks: bool = True,
+                on_truncate: TruncateFn | None = None) -> Entry | None:
     """convert_data (:1196-1384) -> padded Entry; None when no relations."""
     boxes, frames, labels, scores, feats = [], [], [], [], []
     pair_idx, im_idx = [], []
@@ -276,19 +282,29 @@ def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool
         else np.zeros((n_rels, schema.NUM_CONTACTING), np.float32),
         num_frames=np.int32(len(grounded)),
     )
-    return pad_entry(e, bucket_boxes, bucket_rels)
+    padded = pad_entry(e, bucket_boxes, bucket_rels)
+    if on_truncate is not None:
+        dropped_boxes = max(0, n_boxes - bucket_boxes)
+        # exact: counts rows past the rel bucket AND rels invalidated because
+        # a pair index points past the truncated box table (pad_entry clamp)
+        dropped_rels = n_rels - int(np.asarray(padded.rel_mask).sum())
+        if dropped_boxes or dropped_rels:
+            on_truncate(dropped_boxes, dropped_rels)
+    return padded
 
 
 def wk_forward(frames: Sequence[FrameDetections], gt_annotation, is_train: bool,
                bucket_boxes: int, bucket_rels: int,
                union_feat_fn: UnionFeatFn | None = None,
                assets_dir: str | None = None, pseudo_way: int = 0,
-               feat_dim: int = FEAT_DIM) -> Entry | None:
+               feat_dim: int = FEAT_DIM,
+               on_truncate: TruncateFn | None = None) -> Entry | None:
     """The full grounding pass (lib/object_detector.py:35-45)."""
     grounded = assign_labels_video(frames, gt_annotation, is_train,
                                    assets_dir, pseudo_way)
     return build_entry(grounded, gt_annotation, is_train, bucket_boxes,
-                       bucket_rels, union_feat_fn, feat_dim)
+                       bucket_rels, union_feat_fn, feat_dim,
+                       on_truncate=on_truncate)
 
 
 def entry_to_pred(entry: Entry | None) -> dict:
@@ -313,22 +329,21 @@ def entry_to_pred(entry: Entry | None) -> dict:
     }
 
 
-_MULTI_ORDER_CACHE: dict = {}
+@functools.lru_cache(maxsize=8192)
+def _mapped_order_cached(ag_ids: tuple[int, ...],
+                         gt_classes: frozenset[int]) -> tuple[int, ...]:
+    return tuple(set(ag_ids) & set(gt_classes))
 
 
 def _mapped_order(ag_ids: tuple[int, ...], gt_classes: frozenset[int],
                   is_train: bool) -> tuple[int, ...]:
     """Per-det mapped-class emission order. Must match the reference's
     `list(set(ag_ids) & set(gt))` CPython set-iteration order exactly
-    (assign_pseudo_label.py:128); cached per (ids, gt-set) combination."""
+    (assign_pseudo_label.py:128); lru-cached (bounded — a plain dict would
+    grow monotonically over a multi-epoch run) per (ids, gt-set) combination."""
     if not is_train:
         return ag_ids
-    key = (ag_ids, gt_classes)
-    got = _MULTI_ORDER_CACHE.get(key)
-    if got is None:
-        got = tuple(set(ag_ids) & set(gt_classes))
-        _MULTI_ORDER_CACHE[key] = got
-    return got
+    return _mapped_order_cached(ag_ids, gt_classes)
 
 
 def assign_labels_frame_fast(frame: FrameDetections, gt_frame: list[dict],

@@ -17,6 +17,32 @@ from typing import Callable, Iterator, Sequence
 from .entry import Entry
 
 
+class TruncationCounter:
+    """Thread-safe tally of boxes/relations dropped by bucket truncation
+    (data/entry.py pad_entry keeps only the first bucket rows for oversized
+    videos). Tools pass `.add` as build_entry's on_truncate and log the tally
+    per epoch — silent label loss is un-debuggable recall drift."""
+
+    def __init__(self):
+        self.videos = 0
+        self.boxes = 0
+        self.rels = 0
+        self._lock = threading.Lock()
+
+    def add(self, n_boxes: int, n_rels: int) -> None:
+        with self._lock:
+            self.videos += 1
+            self.boxes += int(n_boxes)
+            self.rels += int(n_rels)
+
+    def take(self) -> tuple[int, int, int]:
+        """Return (videos, boxes, rels) and reset."""
+        with self._lock:
+            out = (self.videos, self.boxes, self.rels)
+            self.videos = self.boxes = self.rels = 0
+        return out
+
+
 class GroundingPrefetcher:
     """Runs `ground_fn(index) -> Entry | None` for each index on worker
     threads, yielding results in completion order with bounded lookahead."""

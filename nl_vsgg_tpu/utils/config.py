@@ -86,6 +86,12 @@ class Config:
     weight_decay: float = 1e-2  # lib/AdamW.py default
     batch_videos: int = 1  # videos per step per device (reference: 1 total)
     frame_features_path: str = "datasets/AG/frame_features"
+    frames_path: str = ""  # raw frame images root ("" -> <data_path>/frames);
+    # needed when union_box_feature is true (ref assign_pseudo_label.py:1323)
+    vinvl_ckpt: str = ""  # converted VinVL npz (tools/convert_vinvl.py) for
+    # live union-feature extraction; "" + union_box_feature -> loud warning
+    auto_download: bool = False  # fetch AG training pickles from HF like the
+    # reference (dataloader/wk_action_genome.py:13-15) — opt-in, offline-safe
     glove_path: str = ""  # optional glove.6B.200d.txt; deterministic fallback
     buckets: BucketConfig = field(default_factory=BucketConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)

@@ -128,6 +128,57 @@ def test_entry_parity_vs_reference(rng, monkeypatch, is_train):
             np.testing.assert_array_equal(np.asarray(ours_mh), ref_mh)
 
 
+@pytest.mark.parametrize("is_train", [True, False])
+def test_union_feature_parity_vs_reference(rng, monkeypatch, is_train):
+    """convert_data with union_box_feature=True (the shipped recipe,
+    assign_pseudo_label.py:1320-1342) vs our build_entry with a union_feat_fn.
+    Both sides use the same deterministic fake extractor (a fixed projection
+    of the union box coords + a spatial ramp), so agreement verifies the
+    union-box math, per-frame grouping/order, and channel layout."""
+    apl = _load_reference_module(monkeypatch)
+    dets_list, feats_list, gt = _synthetic_video(rng)
+
+    W = rng.standard_normal((4, 2048)).astype(np.float32) * 0.1
+    ramp = (0.1 * np.arange(7)[:, None] + 0.01 * np.arange(7)).astype(np.float32)
+
+    def ref_extract(model, transforms, img, boxes):
+        b = np.asarray(boxes.cpu() if hasattr(boxes, "cpu") else boxes, np.float32)
+        base = b @ W  # (K, 2048)
+        return torch.as_tensor(base[:, :, None, None] + ramp[None, None])
+
+    monkeypatch.setattr(apl, "extract_feature_given_bbox", ref_extract)
+    ref_p_det, ref_p_feat, ref_o_det, ref_o_feat = \
+        apl.assign_label_to_proposals_by_dict_for_video(
+            _deepcopy_dets(dets_list), feats_list, is_train, gt, None,
+            dict_path=ASSETS)
+    ref_entry = apl.convert_data(
+        is_train, [], ref_p_det, ref_p_feat, ref_o_det, ref_o_feat, gt,
+        None, None, None, union_box_feature=True,
+        frame_path=[f"/nonexistent/{i}.png" for i in range(len(dets_list))])
+    assert ref_entry is not None
+
+    frames = [FrameDetections(
+        classes=np.asarray([d["class"] for d in dets], np.int64),
+        confs=np.asarray([float(d["conf"]) for d in dets], np.float32),
+        rects=np.stack([d["rect"] for d in dets]),
+        feats=feats_list[i]) for i, dets in enumerate(dets_list)]
+
+    def union_feat_fn(frame_idx, boxes):
+        base = np.asarray(boxes, np.float32) @ W  # (K, 2048)
+        return base[:, None, None, :] + ramp[None, :, :, None]
+
+    n_boxes = int(ref_entry["boxes"].shape[0])
+    n_rels = int(ref_entry["pair_idx"].shape[0])
+    ours = wk_forward(frames, gt, is_train, bucket_boxes=n_boxes,
+                      bucket_rels=n_rels, union_feat_fn=union_feat_fn,
+                      assets_dir=ASSETS, feat_dim=2048)
+    assert ours is not None
+    assert float(np.abs(np.asarray(ours.union_feat)).max()) > 0
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(ours.union_feat), -1, 1),
+        ref_entry["union_feat"].numpy(), rtol=1e-5, atol=1e-6)
+
+
 def test_create_dis_matches_reference(rng, monkeypatch):
     apl = _load_reference_module(monkeypatch)
     confs = rng.uniform(0, 1, 5).astype(np.float32)

@@ -7,6 +7,9 @@ the model consumed the entry (tools/train_DSG_DETR.py:133-134), so the
 tracklet indices never influence training — our DSGDETR derives its temporal
 groups from object classes inside the model, which is the same computation
 the sgdet fast path performs (lib/track.py:135-152).
+
+The loop itself is train_STTran.run_training, parameterized by the model
+builder (the reference duplicates the whole training file instead).
 """
 
 from __future__ import annotations
@@ -17,9 +20,10 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from nl_vsgg_tpu.models.dsg_detr import DSGDETR
+from nl_vsgg_tpu.utils.config import load_config
 from nl_vsgg_tpu.utils.glove import obj_edge_vectors
 
-import train_STTran as base
+from train_STTran import parse_args, run_training
 
 
 def build_model(cfg, tax):
@@ -31,8 +35,14 @@ def build_model(cfg, tax):
 
 
 def main():
-    base.build_model = build_model  # same loop, DSG-DETR model
-    base.main()
+    args = parse_args()
+    overrides = {}
+    if args.bce_loss:
+        overrides["bce_loss"] = True
+    if args.nepoch is not None:
+        overrides["nepoch"] = args.nepoch
+    cfg = load_config(args.cfg_file, overrides)
+    run_training(cfg, args, build_model)
 
 
 if __name__ == "__main__":

@@ -9,8 +9,14 @@ R@K eval driving ReduceLROnPlateau on mean R@20, NaN-skip), redesigned around:
     (the reference steps one video at a time),
   * host-side grounding (data/grounding.py) overlapped with device compute
     via a simple prefetch queue,
+  * live VinVL union features when union_box_feature is on (the shipped
+    recipe, ref lib/assign_pseudo_label.py:1320-1342) served from a per-video
+    cached-C4 extractor instead of a full backbone rerun per step,
   * Orbax checkpoints with full train-state resume (the reference's
     torch.save is commented out).
+
+The loop itself lives in run_training(cfg, args, build_model) so
+tools/train_DSG_DETR.py shares it with its own model builder.
 """
 
 from __future__ import annotations
@@ -18,6 +24,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import threading
 import time
 from collections import defaultdict
 
@@ -32,6 +39,8 @@ from nl_vsgg_tpu.data import schema
 from nl_vsgg_tpu.data.action_genome import AGTest, AGTrain
 from nl_vsgg_tpu.data.entry import pick_bucket
 from nl_vsgg_tpu.data.grounding import load_frame_features, wk_forward
+from nl_vsgg_tpu.data.pipeline import (GroundingPrefetcher, TruncationCounter,
+                                       bucket_batches)
 from nl_vsgg_tpu.eval import SceneGraphEvaluator
 from nl_vsgg_tpu.models.sttran import STTran
 from nl_vsgg_tpu.train import (PlateauScheduler, create_train_state,
@@ -44,14 +53,14 @@ from nl_vsgg_tpu.utils.glove import obj_edge_vectors
 from nl_vsgg_tpu.utils.logging import MetricWriter, setup_logger
 
 
-def parse_args():
-    p = argparse.ArgumentParser(description="STTran weak-supervision training")
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="weak-supervision training")
     p.add_argument("--cfg", dest="cfg_file", default=None, help="config yaml")
     p.add_argument("--bce_loss", action="store_true", default=None)
     p.add_argument("--nepoch", type=int, default=None)
     p.add_argument("--max_videos", type=int, default=0,
                    help="debug: cap videos per epoch (0 = all)")
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
 def build_model(cfg, tax):
@@ -62,25 +71,121 @@ def build_model(cfg, tax):
                   feat_dim=cfg.feat_dim, glove_obj36=g36, glove_obj37=g37)
 
 
-def ground_video(ds, idx, cfg, is_train, buckets):
+def make_union_provider(cfg, logger):
+    """Live union-feature extraction, honoring cfg.union_box_feature.
+
+    The reference's shipped config runs with union_box_feature=true and
+    extracts 2048x7x7 VinVL features at every person-object union box, every
+    step (lib/assign_pseudo_label.py:1320-1342, rerunning the full backbone
+    per frame). Here the detector computes each video's C4 maps once
+    (detector/attr_rcnn.py::make_union_feature_fn) and serves union crops
+    through the matmul RoIAlign + C5 head.
+
+    Returns provider(ds, idx) -> UnionFeatFn | None, or None when the flag is
+    off or prerequisites are missing (with a loud warning — round 1 zeroed
+    the features silently, halving the relation models' vr-branch input).
+    """
+    if not cfg.union_box_feature:
+        return None
+    if not cfg.vinvl_ckpt or not os.path.isfile(str(cfg.vinvl_ckpt)):
+        logger.warning(
+            "union_box_feature=true but cfg.vinvl_ckpt is unset or missing "
+            f"({cfg.vinvl_ckpt!r}): Entry.union_feat will be ZEROS, which "
+            "diverges from the shipped reference recipe (convert a checkpoint "
+            "with tools/convert_vinvl.py and set vinvl_ckpt)")
+        return None
+    from nl_vsgg_tpu.detector.attr_rcnn import AttrRCNNJax
+    from nl_vsgg_tpu.detector.convert import load_checkpoint
+
+    frames_root = cfg.frames_path or os.path.join(cfg.data_path, "frames")
+    det_lock = threading.Lock()
+    det_box: list = []
+    warned: set = set()
+
+    def provider(ds, idx):
+        import cv2
+        with det_lock:
+            if not det_box:
+                det_box.append(AttrRCNNJax(load_checkpoint(str(cfg.vinvl_ckpt))))
+            det = det_box[0]
+        imgs = []
+        for f in ds.video_list[idx]:
+            img = cv2.imread(os.path.join(frames_root, f))
+            if img is None:
+                if "frames" not in warned:
+                    warned.add("frames")
+                    logger.warning(
+                        f"union_box_feature=true but frame images are missing "
+                        f"under {frames_root!r} (e.g. {f!r}): union features "
+                        f"fall back to ZEROS for affected videos")
+                return None
+            imgs.append(img)
+        return det.make_union_feature_fn(imgs)
+
+    return provider
+
+
+def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
+                 on_truncate=None):
     frames = load_frame_features(
         [os.path.join(cfg.frame_features_path, f) for f in ds.video_list[idx]],
         use_native=cfg.use_native_io, feat_dim=cfg.feat_dim)
     n_hint = sum(len(f.classes) for f in frames)
     bb = pick_bucket(buckets.max_boxes, n_hint)
     br = pick_bucket(buckets.max_rels, n_hint)
+    union_feat_fn = union_provider(ds, idx) if union_provider is not None else None
     return wk_forward(frames, ds.gt_annotations[idx], is_train, bb, br,
-                      feat_dim=cfg.feat_dim, pseudo_way=cfg.pseudo_way)
+                      union_feat_fn=union_feat_fn,
+                      feat_dim=cfg.feat_dim, pseudo_way=cfg.pseudo_way,
+                      on_truncate=on_truncate)
 
 
-def main():
-    args = parse_args()
-    overrides = {}
-    if args.bce_loss:
-        overrides["bce_loss"] = True
-    if args.nepoch is not None:
-        overrides["nepoch"] = args.nepoch
-    cfg = load_config(args.cfg_file, overrides)
+def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
+                   evaluator=None):
+    """Streaming evaluation over the test split (train_STTran.py:210-232).
+
+    Entries are grounded by the prefetcher, grouped into at most ONE pending
+    batch per bucket, scored and immediately dropped — peak host memory is
+    independent of the split size (round 1 held every padded Entry, ~90 GB at
+    real AG scale).
+    """
+    if evaluator is None:
+        evaluator = SceneGraphEvaluator(mode=cfg.mode, taxonomy=tax)
+    prefetcher = GroundingPrefetcher(get_entry, list(range(n_test)),
+                                     num_workers=cfg.num_workers)
+    pending: dict = defaultdict(list)
+
+    def flush(key):
+        items = pending.pop(key)
+        batch = stack_entries([jax.tree.map(jnp.asarray, e) for _, e in items])
+        pred = jax.device_get(eval_step(state, batch))
+        for bi, (i, e) in enumerate(items):
+            p = {k: np.asarray(v[bi]) for k, v in pred.items()}
+            p.update(boxes=np.asarray(e.boxes),
+                     pair_idx=np.asarray(e.pair_idx),
+                     im_idx=np.asarray(e.im_idx),
+                     rel_mask=np.asarray(e.rel_mask),
+                     box_mask=np.asarray(e.box_mask),
+                     labels=np.asarray(e.labels),
+                     scores=np.asarray(e.scores))
+            evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
+
+    for i, e in prefetcher:
+        if e is None:
+            evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], {})
+            continue
+        key = (e.n_boxes, e.n_rels)
+        pending[key].append((i, e))
+        if len(pending[key]) == cfg.batch_videos:
+            flush(key)
+    for key in list(pending):
+        flush(key)
+    return evaluator
+
+
+def run_training(cfg, args, build_model_fn):
+    """The shared training loop (STTran and DSG-DETR differ only in the model
+    builder — the reference duplicates the whole file, tools/train_DSG_DETR.py)."""
     logger = setup_logger(save_dir=cfg.save_path)
     os.makedirs(cfg.save_path, exist_ok=True)
     with open(os.path.join(cfg.save_path, "configs.json"), "w") as f:
@@ -90,18 +195,25 @@ def main():
 
     logger.info("loading datasets")
     ds_train = AGTrain(cfg.data_path, pseudo_label_path=cfg.pseudo_localized_SG_path,
-                       remove_one_frame_video=cfg.remove_one_frame_video)
+                       remove_one_frame_video=cfg.remove_one_frame_video,
+                       auto_download=cfg.auto_download, logger=logger)
     ds_test = AGTest(cfg.data_path if cfg.data_path.endswith("annotations")
                      else os.path.join(cfg.data_path, "annotations"))
     logger.info(f"train videos: {len(ds_train)}, test videos: {len(ds_test)}")
 
-    model = build_model(cfg, tax)
+    model = build_model_fn(cfg, tax)
     rng = jax.random.key(cfg.seed)
+    union_provider = make_union_provider(cfg, logger)
+    trunc = TruncationCounter()
+
+    def ground(ds, idx, is_train):
+        return ground_video(ds, int(idx), cfg, is_train, cfg.buckets,
+                            union_provider=union_provider, on_truncate=trunc.add)
 
     # init from the first groundable video's bucket
     sample = None
     for i in range(len(ds_train)):
-        sample = ground_video(ds_train, i, cfg, True, cfg.buckets)
+        sample = ground(ds_train, i, True)
         if sample is not None:
             break
     assert sample is not None, "no groundable training video"
@@ -145,15 +257,17 @@ def main():
         _bs = batch_sharding(mesh)
         logger.info(f"mesh: data={data_par} model={model_par}")
         if cfg.batch_videos % data_par:
-            logger.warning(
+            logger.info(
                 f"batch_videos={cfg.batch_videos} not a multiple of the data "
-                f"axis ({data_par}): short batches are zero-padded, which "
-                f"dilutes the batch-mean loss — prefer a multiple")
+                f"axis ({data_par}): short batches are zero-padded (excluded "
+                f"from loss/stat means by the train step, so this only wastes "
+                f"compute — prefer a multiple)")
 
     def place_batch(batch):
         if mesh is None:
             return batch
-        # pad the video axis to a multiple of the data axis
+        # pad the video axis to a multiple of the data axis; the train step
+        # weights loss/stat means by per-video validity so padding is inert
         b = batch.num_frames.shape[0]
         need = (-b) % data_par
         if need:
@@ -165,8 +279,6 @@ def main():
     n_train = len(ds_train) if not args.max_videos else min(args.max_videos, len(ds_train))
     n_test = len(ds_test) if not args.max_videos else min(args.max_videos, len(ds_test))
 
-    from nl_vsgg_tpu.data.pipeline import GroundingPrefetcher, bucket_batches
-
     global_step = 0
     for epoch in range(start_epoch, cfg.nepoch):
         t0 = time.time()
@@ -175,7 +287,7 @@ def main():
 
         # grounding runs on worker threads, overlapping device compute
         prefetcher = GroundingPrefetcher(
-            lambda idx: ground_video(ds_train, int(idx), cfg, True, cfg.buckets),
+            lambda idx: ground(ds_train, idx, True),
             order.tolist(), num_workers=cfg.num_workers)
         for bucket_entries in bucket_batches(iter(prefetcher), cfg.batch_videos):
             n_seen += len(bucket_entries)
@@ -187,43 +299,23 @@ def main():
                 metrics.write(global_step, **{k: float(v) for k, v in m.items()})
                 logger.info(f"e{epoch} step {global_step} loss {float(m['total']):.4f}")
 
+        tv, tb, tr = trunc.take()
+        if tv:
+            logger.warning(
+                f"epoch {epoch}: bucket truncation dropped {tb} boxes / {tr} "
+                f"relations across {tv} videos — enlarge cfg.buckets "
+                f"(max_boxes/max_rels) to keep those labels")
+            metrics.write(global_step, truncated_videos=tv,
+                          truncated_boxes=tb, truncated_rels=tr)
         logger.info(f"epoch {epoch} done in {(time.time()-t0)/60:.1f} min "
                     f"({n_seen} videos, skipped {int(state.skipped)})")
         save_checkpoint(os.path.join(cfg.save_path, "ckpt"), epoch, state,
                         config_json=cfg.to_json())
 
-        # ---- per-epoch evaluation (train_STTran.py:210-232), batched ----
-        evaluator = SceneGraphEvaluator(mode=cfg.mode, taxonomy=tax)
-        eval_pf = GroundingPrefetcher(
-            lambda i: ground_video(ds_test, int(i), cfg, False, cfg.buckets),
-            list(range(n_test)), num_workers=cfg.num_workers)
-        grounded = {}
-        for i, e in eval_pf:
-            if e is None:
-                evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], {})
-            else:
-                grounded[i] = e
-        by_bucket: dict = defaultdict(list)
-        for i, e in grounded.items():
-            by_bucket[(e.n_boxes, e.n_rels)].append(i)
-        for key, idxs in by_bucket.items():
-            for s0 in range(0, len(idxs), cfg.batch_videos):
-                chunk = idxs[s0:s0 + cfg.batch_videos]
-                batch = stack_entries([jax.tree.map(jnp.asarray, grounded[i])
-                                       for i in chunk])
-                pred = eval_step(state, batch)
-                pred = jax.device_get(pred)
-                for bi, i in enumerate(chunk):
-                    e = grounded[i]
-                    p = {k: np.asarray(v[bi]) for k, v in pred.items()}
-                    p.update(boxes=np.asarray(e.boxes),
-                             pair_idx=np.asarray(e.pair_idx),
-                             im_idx=np.asarray(e.im_idx),
-                             rel_mask=np.asarray(e.rel_mask),
-                             box_mask=np.asarray(e.box_mask),
-                             labels=np.asarray(e.labels),
-                             scores=np.asarray(e.scores))
-                    evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
+        # ---- per-epoch evaluation (train_STTran.py:210-232), streamed ----
+        evaluator = evaluate_epoch(cfg, tax, ds_test, n_test,
+                                   lambda i: ground(ds_test, i, False),
+                                   eval_step, state)
         score = evaluator.mean_score(20)
         evaluator.calculate_mean_recall()
         logger.info(f"------------Inference in Epoch ({epoch})------------")
@@ -233,6 +325,18 @@ def main():
         metrics.write(global_step, epoch=epoch, mean_r20=score, lr=new_lr)
 
     metrics.close()
+    return state
+
+
+def main():
+    args = parse_args()
+    overrides = {}
+    if args.bce_loss:
+        overrides["bce_loss"] = True
+    if args.nepoch is not None:
+        overrides["nepoch"] = args.nepoch
+    cfg = load_config(args.cfg_file, overrides)
+    run_training(cfg, args, build_model)
 
 
 if __name__ == "__main__":
