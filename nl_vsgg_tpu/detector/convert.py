@@ -94,8 +94,25 @@ def convert_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
                        "box_head": box_head}}
 
 
+def load_npz(path: str) -> dict:
+    """Rebuild the nested variables dict from a converted .npz
+    (tools/convert_vinvl.py writes '/'-joined flat keys)."""
+    data = np.load(path)
+    out: dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = data[key]
+    return out
+
+
 def load_checkpoint(path: str) -> dict:
-    """Read a .pth with torch (cpu) and convert."""
+    """Load converted variables: .npz (torch-free runtime path) or a raw
+    torch .pth (converted on the fly)."""
+    if path.endswith(".npz"):
+        return load_npz(path)
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt.get("state_dict", ckpt))

@@ -186,6 +186,126 @@ def convert_clip_state_dict(sd: Mapping[str, Any], lora_scale: float = 1.0):
     return visual, text
 
 
+# ---------------- checkpoint validation (tools/validate_ckpt.py) ----------
+
+def _t_linear_lora(x, sd, key, scale):
+    """torch linear applying LoRA the way the DAC runtime does:
+    y = x W^T + b + scale * (x A^T) B^T  — NOT via a pre-merged weight, so a
+    conversion-side merge bug cannot cancel out."""
+    import torch.nn.functional as F
+    w = sd[key]
+    # 'in_proj_weight' has no '.weight' suffix: its bias is added by the caller
+    b = sd.get(key[:-7] + ".bias") if key.endswith(".weight") else None
+    y = F.linear(x, w, b)
+    for ak, bk in ((key.replace(".weight", ".lora_A"),
+                    key.replace(".weight", ".lora_B")),
+                   (key.replace(".weight", ".lora_A.weight"),
+                    key.replace(".weight", ".lora_B.weight"))):
+        if ak != key and ak in sd and bk in sd:
+            y = y + scale * F.linear(F.linear(x, sd[ak]), sd[bk])
+            break
+    return y
+
+
+def _t_block(x, sd, p, heads, causal, scale):
+    import torch
+    import torch.nn.functional as F
+
+    def ln(v, key):
+        return F.layer_norm(v, (v.shape[-1],), sd[key + ".weight"], sd[key + ".bias"])
+
+    B, L, D = x.shape
+    h = ln(x, p + ".ln_1")
+    qkv = _t_linear_lora(h, sd, p + ".attn.in_proj_weight", scale)
+    # in_proj bias lives under a different key than .weight->.bias mapping
+    if p + ".attn.in_proj_bias" in sd:
+        qkv = qkv + sd[p + ".attn.in_proj_bias"]
+    q, k, v = qkv.chunk(3, -1)
+    hd = D // heads
+    q = q.view(B, L, heads, hd).transpose(1, 2)
+    k = k.view(B, L, heads, hd).transpose(1, 2)
+    v = v.view(B, L, heads, hd).transpose(1, 2)
+    att = (q @ k.transpose(-2, -1)) / hd ** 0.5
+    if causal:
+        att = att.masked_fill(~torch.tril(torch.ones(L, L, dtype=torch.bool)), float("-inf"))
+    o = (att.softmax(-1) @ v).transpose(1, 2).reshape(B, L, D)
+    o = _t_linear_lora(o, sd, p + ".attn.out_proj.weight", scale)
+    x = x + o
+    h = ln(x, p + ".ln_2")
+    h = _t_linear_lora(h, sd, p + ".mlp.c_fc.weight", scale)
+    h = h * torch.sigmoid(1.702 * h)
+    h = _t_linear_lora(h, sd, p + ".mlp.c_proj.weight", scale)
+    return x + h
+
+
+def validate_checkpoint(path: str, atol: float = 5e-3, lora_scale: float = 1.0,
+                        log=print) -> dict[str, float]:
+    """Per-stage activation diff: functional-torch evaluation of the raw
+    LLM_cp.pt tensors (LoRA applied at runtime, as DAC does) vs the converted
+    flax towers (LoRA merged at conversion). Returns {stage: max_abs_diff,
+    '_ok': 0/1}."""
+    import torch
+    import torch.nn.functional as F
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
+    sd = {k.removeprefix("module."): torch.as_tensor(np.asarray(v)).float()
+          for k, v in sd.items()}
+    visual_params, text_params = convert_clip_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, lora_scale)
+
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((2, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.float32)
+    tokens = np.zeros((2, CONTEXT), np.int64)
+    tokens[:, 0] = 49406
+    tokens[0, 1:5] = rng.integers(1, 49000, 4)
+    tokens[0, 5] = 49407
+    tokens[1, 1:9] = rng.integers(1, 49000, 8)
+    tokens[1, 9] = 49407
+
+    diffs: dict[str, float] = {}
+    with torch.no_grad():
+        # --- visual tower
+        x = torch.as_tensor(np.moveaxis(images, -1, 1))
+        x = F.conv2d(x, sd["visual.conv1.weight"], stride=PATCH)
+        x = x.flatten(2).transpose(1, 2)
+        cls = sd["visual.class_embedding"].expand(x.shape[0], 1, -1)
+        x = torch.cat([cls, x], 1) + sd["visual.positional_embedding"]
+        x = F.layer_norm(x, (x.shape[-1],), sd["visual.ln_pre.weight"],
+                         sd["visual.ln_pre.bias"])
+        for i in range(VISION_LAYERS):
+            x = _t_block(x, sd, f"visual.transformer.resblocks.{i}",
+                         VISION_HEADS, False, lora_scale)
+        x = F.layer_norm(x[:, 0], (x.shape[-1],), sd["visual.ln_post.weight"],
+                         sd["visual.ln_post.bias"])
+        ref_v = (x @ sd["visual.proj"]).numpy()
+        # --- text tower
+        t = sd["token_embedding.weight"][torch.as_tensor(tokens)] + \
+            sd["positional_embedding"]
+        for i in range(TEXT_LAYERS):
+            t = _t_block(t, sd, f"transformer.resblocks.{i}",
+                         TEXT_HEADS, True, lora_scale)
+        t = F.layer_norm(t, (t.shape[-1],), sd["ln_final.weight"], sd["ln_final.bias"])
+        pooled = t[torch.arange(2), torch.as_tensor(tokens).argmax(-1)]
+        ref_t = (pooled @ sd["text_projection"]).numpy()
+
+    got_v = np.asarray(CLIPImageEncoder().apply({"params": visual_params},
+                                                jnp.asarray(images)))
+    got_t = np.asarray(CLIPTextEncoder().apply({"params": text_params},
+                                               jnp.asarray(tokens)))
+    ok = True
+    for stage, ref, got in (("visual_embed", ref_v, got_v),
+                            ("text_embed", ref_t, got_t)):
+        d = float(np.abs(ref - got).max())
+        scale = float(np.abs(ref).max()) or 1.0
+        diffs[stage] = d
+        status = "ok" if d <= atol * max(1.0, scale) else "FAIL"
+        ok &= status == "ok"
+        log(f"  {stage:<14} max|Δ| = {d:.3e}  (|ref|max {scale:.2e})  {status}")
+    diffs["_ok"] = float(ok)
+    return diffs
+
+
 def encode_for_adv(visual_params, text_params, images: np.ndarray,
                    token_batches: list[np.ndarray]):
     """-> (frame_embeddings (T, 512), [sentence_embeddings (S_i, 512)]),

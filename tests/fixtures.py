@@ -93,3 +93,68 @@ def build_micro_ag(root: str, n_videos: int = 3, n_frames: int = 4,
         with open(os.path.join(ann_dir, name), "wb") as f:
             pickle.dump(object_bbox, f)
     return ag
+
+
+def make_vinvl_state_dict(rng, randomize_bn: bool = False) -> dict:
+    """Synthetic maskrcnn-style VinVL state dict with the real model's key
+    names and shapes (ResNeXt-152-C4 32x8d + RPN head + C5 box head).
+    randomize_bn exercises the FrozenBN folding with non-trivial stats."""
+    sd = {}
+
+    def add_conv(name, cout, cin, k, bias=False, groups=1):
+        sd[name + ".weight"] = rng.standard_normal(
+            (cout, cin // groups, k, k)).astype(np.float32) * 0.05
+        if bias:
+            sd[name + ".bias"] = np.zeros(cout, np.float32)
+
+    def add_bn(name, c):
+        if randomize_bn:
+            sd[name + ".weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+            sd[name + ".bias"] = rng.standard_normal(c).astype(np.float32) * 0.1
+            sd[name + ".running_mean"] = rng.standard_normal(c).astype(np.float32) * 0.1
+            sd[name + ".running_var"] = rng.uniform(0.5, 2.0, c).astype(np.float32)
+        else:
+            sd[name + ".weight"] = np.ones(c, np.float32)
+            sd[name + ".bias"] = np.zeros(c, np.float32)
+            sd[name + ".running_mean"] = np.zeros(c, np.float32)
+            sd[name + ".running_var"] = np.ones(c, np.float32)
+
+    add_conv("backbone.body.stem.conv1", 64, 3, 7)
+    add_bn("backbone.body.stem.bn1", 64)
+    specs = [("layer1", 3, 64, 256, 256), ("layer2", 8, 256, 512, 512),
+             ("layer3", 36, 512, 1024, 1024)]
+    for lname, n, cin, mid, cout in specs:
+        for i in range(n):
+            p = f"backbone.body.{lname}.{i}"
+            c_in = cin if i == 0 else cout
+            add_conv(p + ".conv1", mid, c_in, 1)
+            add_bn(p + ".bn1", mid)
+            add_conv(p + ".conv2", mid, mid, 3, groups=32)
+            add_bn(p + ".bn2", mid)
+            add_conv(p + ".conv3", cout, mid, 1)
+            add_bn(p + ".bn3", cout)
+            if i == 0:
+                add_conv(p + ".downsample.0", cout, c_in, 1)
+                add_bn(p + ".downsample.1", cout)
+    add_conv("rpn.head.conv", 1024, 1024, 3, bias=True)
+    add_conv("rpn.head.cls_logits", 15, 1024, 1, bias=True)
+    add_conv("rpn.head.bbox_pred", 60, 1024, 1, bias=True)
+    for i in range(3):
+        p = f"roi_heads.box.feature_extractor.head.layer4.{i}"
+        c_in = 1024 if i == 0 else 2048
+        add_conv(p + ".conv1", 2048, c_in, 1)
+        add_bn(p + ".bn1", 2048)
+        add_conv(p + ".conv2", 2048, 2048, 3, groups=32)
+        add_bn(p + ".bn2", 2048)
+        add_conv(p + ".conv3", 2048, 2048, 1)
+        add_bn(p + ".bn3", 2048)
+        if i == 0:
+            add_conv(p + ".downsample.0", 2048, c_in, 1)
+            add_bn(p + ".downsample.1", 2048)
+    sd["roi_heads.box.predictor.cls_score.weight"] = \
+        rng.standard_normal((1595, 2048)).astype(np.float32) * 0.01
+    sd["roi_heads.box.predictor.cls_score.bias"] = np.zeros(1595, np.float32)
+    sd["roi_heads.box.predictor.bbox_pred.weight"] = \
+        rng.standard_normal((1595 * 4, 2048)).astype(np.float32) * 0.01
+    sd["roi_heads.box.predictor.bbox_pred.bias"] = np.zeros(1595 * 4, np.float32)
+    return sd

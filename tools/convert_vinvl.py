@@ -22,17 +22,7 @@ def main():
     print(f"wrote {len(flat)} arrays -> {dst}")
 
 
-def load_npz(path: str) -> dict:
-    """Rebuild the nested variables dict from a converted .npz."""
-    data = np.load(path)
-    out: dict = {}
-    for key in data.files:
-        parts = key.split("/")
-        d = out
-        for p in parts[:-1]:
-            d = d.setdefault(p, {})
-        d[parts[-1]] = data[key]
-    return out
+from nl_vsgg_tpu.detector.convert import load_npz  # noqa: F401 (re-export)
 
 
 if __name__ == "__main__":
