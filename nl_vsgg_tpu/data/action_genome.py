@@ -41,23 +41,78 @@ def _load_pickle(path: str):
         return pickle.load(f)
 
 
+# The reference wgets these from its HF dataset when absent
+# (dataloader/wk_action_genome.py:13-15,92-106).
+HF_DATA_URL = "https://huggingface.co/datasets/kb-kim/NL-VSGG/resolve/main"
+TRAIN_ARTIFACTS = ("ag_img_info_train.pkl", "triplets_LLM4SGG.pkl",
+                   "final_ag_data_w_neg.pkl")
+
+
+def maybe_download(path: str, file_name: str, enabled: bool,
+                   fetch_fn=None, sha256: str | None = None,
+                   logger=None) -> None:
+    """Fetch a missing training artifact from the NL-VSGG HF dataset.
+
+    Off by default (cfg.auto_download) and offline-safe: a failed fetch
+    leaves the caller to raise its usual FileNotFoundError. `fetch_fn(url,
+    dest)` is injectable for tests; the default streams via urllib to a temp
+    file and renames atomically. An optional sha256 guards corrupt downloads.
+    """
+    if not enabled or os.path.isfile(path):
+        return
+    url = f"{HF_DATA_URL}/{file_name}"
+    tmp = path + ".part"
+    try:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if fetch_fn is not None:
+            fetch_fn(url, tmp)
+        else:
+            import urllib.request
+            with urllib.request.urlopen(url, timeout=60) as r, open(tmp, "wb") as f:
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+        if sha256 is not None:
+            import hashlib
+            h = hashlib.sha256()
+            with open(tmp, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            if h.hexdigest() != sha256:
+                raise IOError(f"checksum mismatch for {file_name}: "
+                              f"{h.hexdigest()} != {sha256}")
+        os.replace(tmp, path)
+        if logger is not None:
+            logger.info(f"downloaded {file_name} -> {path}")
+    except Exception as e:  # offline fallback: caller reports the missing file
+        if os.path.isfile(tmp):
+            os.remove(tmp)
+        if logger is not None:
+            logger.warning(f"auto-download of {file_name} failed ({e!r}); "
+                           f"place it at {path} manually")
+
+
 class AGTrain:
     """Weakly-supervised train split (AG_Train, wk_action_genome.py:17-170)."""
 
     def __init__(self, data_path: str, pseudo_label_path: str | None = None,
                  img_info_path: str | None = None, frame_list_path: str | None = None,
-                 assets_dir: str | None = None, remove_one_frame_video: bool = True):
+                 assets_dir: str | None = None, remove_one_frame_video: bool = True,
+                 auto_download: bool = False, fetch_fn=None, logger=None):
         tax = schema.load_taxonomy(assets_dir)
         self.object_classes = list(tax.object_classes)
         self.relationship_classes = list(tax.relationship_classes)
         self.relationship_classes_gt = list(tax.relationship_classes_gt)
 
-        img_info = _load_pickle(img_info_path or
-                                os.path.join(data_path, "ag_img_info_train.pkl"))
-        frame_list_info = _load_pickle(frame_list_path or
-                                       os.path.join(data_path, "triplets_LLM4SGG.pkl"))
-        pseudo = _load_pickle(pseudo_label_path or
-                              os.path.join(data_path, "final_ag_data_w_neg.pkl"))
+        paths = (img_info_path or os.path.join(data_path, "ag_img_info_train.pkl"),
+                 frame_list_path or os.path.join(data_path, "triplets_LLM4SGG.pkl"),
+                 pseudo_label_path or os.path.join(data_path, "final_ag_data_w_neg.pkl"))
+        for path, name in zip(paths, TRAIN_ARTIFACTS):
+            maybe_download(path, name, auto_download, fetch_fn=fetch_fn,
+                           logger=logger)
+        img_info, frame_list_info, pseudo = map(_load_pickle, paths)
 
         self.video_list: list[list[str]] = []
         self.gt_annotations: list = []
@@ -92,6 +147,15 @@ class AGTrain:
                     for a in np.asarray(t["contacting_relationship"]).reshape(-1):
                         self.action_count[self.relationship_classes_gt[int(a) + 9]] += 1
                         self.triplet_count += 1
+
+        if logger is not None:  # startup stats (wk_action_genome.py:145-152)
+            logger.info("x" * 60)
+            logger.info(f"The number of total frame is {self.total_frames}.")
+            logger.info(f"The number of valid tripelt is {self.triplet_count}")
+            top = sorted(self.action_count.items(), key=lambda kv: -kv[1])[:10]
+            logger.info("action distribution (top 10): "
+                        + ", ".join(f"{k}={v}" for k, v in top))
+            logger.info("x" * 60)
 
     def __len__(self) -> int:
         return len(self.video_list)

@@ -64,6 +64,59 @@ class TestAGTrain:
         assert ds.action_count[tax.relationship_classes_gt[3 + 1]] == 4  # spatial 1
         assert ds.action_count[tax.relationship_classes_gt[9 + 3]] == 4  # contact 3
 
+    def test_auto_download_fetches_missing_artifacts(self, train_fixture, tmp_path):
+        """First-run auto-download (ref wk_action_genome.py:13-15,92-106):
+        missing pickles are fetched from the HF dataset URL; here the fetch is
+        mocked to copy the fixture pickles into place."""
+        import shutil
+
+        from nl_vsgg_tpu.data.action_genome import HF_DATA_URL, TRAIN_ARTIFACTS
+
+        empty = str(tmp_path / "empty")
+        os.makedirs(empty)
+        fetched = []
+
+        def fake_fetch(url, dest):
+            fetched.append(url)
+            name = url.rsplit("/", 1)[-1]
+            shutil.copy(os.path.join(train_fixture, name), dest)
+
+        ds = AGTrain(empty, auto_download=True, fetch_fn=fake_fetch)
+        assert ds.video_ids == ["vidA.mp4"]
+        assert sorted(fetched) == sorted(f"{HF_DATA_URL}/{n}" for n in TRAIN_ARTIFACTS)
+        # second construction finds the files and does not re-fetch
+        fetched.clear()
+        AGTrain(empty, auto_download=True, fetch_fn=fake_fetch)
+        assert fetched == []
+
+    def test_auto_download_offline_fallback(self, tmp_path):
+        """A failing fetch degrades to the plain missing-file error and leaves
+        no partial .part files behind."""
+        empty = str(tmp_path / "empty2")
+        os.makedirs(empty)
+
+        def broken_fetch(url, dest):
+            with open(dest, "wb") as f:
+                f.write(b"partial")
+            raise IOError("no network")
+
+        with pytest.raises(FileNotFoundError):
+            AGTrain(empty, auto_download=True, fetch_fn=broken_fetch)
+        assert not any(f.endswith(".part") for f in os.listdir(empty))
+
+    def test_auto_download_checksum_rejects_corrupt(self, tmp_path):
+        from nl_vsgg_tpu.data.action_genome import maybe_download
+
+        dest = str(tmp_path / "f.pkl")
+
+        def fetch(url, d):
+            with open(d, "wb") as f:
+                f.write(b"corrupt")
+
+        maybe_download(dest, "f.pkl", enabled=True, fetch_fn=fetch,
+                       sha256="0" * 64)
+        assert not os.path.exists(dest)  # rejected, cleaned up
+
 
 @pytest.fixture
 def test_fixture(tmp_path):
