@@ -1,0 +1,153 @@
+"""Secondary on-chip measurements (train step, RoIAlign variants, on-device
+R@K) with the same forced-synchronization discipline as bench.py: every timed
+block is one jit call whose iterations are chained through a carry, ended by
+a host fetch — `block_until_ready` alone does not wait on the tunneled axon
+platform (see BASELINE.md retraction).
+
+Usage: python tools/bench_suite.py [--iters N]
+Prints one human-readable line per measurement; not the driver benchmark.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timed(fn, *args, reps=5):
+    """Median wall time of fn(*args) where fn forces its own completion."""
+    fn(*args)  # warmup/compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(*args)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_train_step(iters: int):
+    """fwd+bwd+AdamW at the bench shapes; steps chain through the state."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
+    from nl_vsgg_tpu.models.sttran import STTran
+    from nl_vsgg_tpu.train import (create_train_state, make_optimizer,
+                                   make_train_step, stack_entries)
+
+    B, F, FEAT = 16, 32, 2048
+    rng = np.random.default_rng(0)
+    entries = [make_synthetic_entry(rng, n_frames=F, objs_per_frame=3,
+                                    bucket_boxes=128, bucket_rels=96,
+                                    feat_dim=FEAT) for _ in range(B)]
+    model = STTran(mode="sgdet", feat_dim=FEAT)
+    tx = make_optimizer(lr=1e-5)
+    state, tx = create_train_state(model, entries[0], jax.random.key(0), tx=tx)
+    batch = jax.tree.map(jnp.asarray, stack_entries(entries))
+    step = make_train_step(model, tx, bce=True)
+
+    @jax.jit
+    def chained(state, batch):
+        def body(i, st):
+            st, _ = step(st, batch, jax.random.fold_in(jax.random.key(1), i))
+            return st
+        st = lax.fori_loop(0, iters, body, state)
+        # the fetched scalar must depend on the params, or XLA's while-loop
+        # simplifier dead-code-eliminates the whole update chain (fetching
+        # just st.step measured an empty loop: implied 600+ TFLOP/s)
+        return sum(jnp.sum(x) for x in jax.tree.leaves(st.params)[:4])
+
+    dt = timed(lambda s, b: float(chained(s, b)), state, batch)
+    per = dt / iters
+    print(f"train_step  b{B}x{F}f fp32: {per * 1e3:8.2f} ms/step "
+          f"({B * F / per:,.0f} frames/s)")
+
+
+def bench_roi_align(iters: int):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from nl_vsgg_tpu.ops.pallas_roi_align import roi_align_pallas
+    from nl_vsgg_tpu.ops.roi_align import roi_align
+    from nl_vsgg_tpu.ops.roi_align_mm import roi_align_mm
+
+    rng = np.random.default_rng(0)
+    fmap = jnp.asarray(rng.standard_normal((50, 64, 1024)).astype(np.float32))
+    rois = jnp.asarray(
+        np.stack([rng.uniform(0, 500, 300), rng.uniform(0, 700, 300),
+                  rng.uniform(500, 800, 300), rng.uniform(700, 1000, 300)],
+                 1).astype(np.float32))
+
+    for name, op in (("mm(MXU)", roi_align_mm), ("gather", roi_align),
+                     ("pallas", roi_align_pallas)):
+        @jax.jit
+        def chained(fmap, rois, op=op):
+            def body(i, c):
+                out = op(fmap + c * 1e-30, rois, output_size=(14, 14),
+                         spatial_scale=1.0 / 16)
+                return c + jnp.sum(out) * 1e-30
+            return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+        try:
+            dt = timed(lambda f, r: float(chained(f, r)), fmap, rois)
+            print(f"roi_align   300 rois {name:8}: {dt / iters * 1e3:8.2f} ms/call")
+        except Exception as e:
+            print(f"roi_align   300 rois {name:8}: unavailable ({type(e).__name__})")
+
+
+def bench_device_recall(iters: int):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from nl_vsgg_tpu.eval.recall_jax import recall_video_with_constraint
+
+    rng = np.random.default_rng(0)
+    F, R, GT = 32, 96, 64
+    pair_idx = jnp.asarray(rng.integers(0, 128, (R, 2)).astype(np.int32))
+    im_idx = jnp.asarray(np.sort(rng.integers(0, F, R)).astype(np.int32))
+    rel_mask = jnp.asarray(np.ones(R, bool))
+    att = jnp.asarray(rng.uniform(size=(R, 3)).astype(np.float32))
+    sp = jnp.asarray(rng.uniform(size=(R, 6)).astype(np.float32))
+    con = jnp.asarray(rng.uniform(size=(R, 17)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(1, 37, 128).astype(np.int32))
+    scores = jnp.asarray(rng.uniform(size=128).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0, 500, (128, 4)).astype(np.float32))
+    gt_trip = jnp.asarray(rng.integers(0, 30, (F, GT, 3)).astype(np.int32))
+    gt_boxes8 = jnp.asarray(rng.uniform(0, 500, (F, GT, 8)).astype(np.float32))
+    gt_mask = jnp.asarray(rng.uniform(size=(F, GT)) > 0.5)
+
+    @jax.jit
+    def chained(att):
+        def body(i, c):
+            r, _ = recall_video_with_constraint(
+                gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx, rel_mask,
+                att + c * 1e-30, sp, con, boxes, labels, scores, F)
+            return c + jnp.sum(r) * 1e-30
+        return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    dt = timed(lambda a: float(chained(a)), att)
+    print(f"device R@K  32f x 96rels     : {dt / iters * 1e3:8.3f} ms/video")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+    import jax
+    print(f"# device: {jax.devices()[0].device_kind}")
+    bench_roi_align(args.iters)
+    bench_device_recall(args.iters)
+    bench_train_step(args.iters)
+
+
+if __name__ == "__main__":
+    main()
