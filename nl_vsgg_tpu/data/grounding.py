@@ -48,34 +48,80 @@ class FrameDetections:
     feats: np.ndarray    # (D, FEAT_DIM)
 
 
+# Plain-float sidecar for dets.npy: (D, 6) float32 [class, conf, x1, y1, x2,
+# y2]. dets.npy is a pickled object array (reference schema, unparseable
+# natively); the sidecar carries the same information as a flat matrix the
+# C++ parallel reader can stream. Written by tools/preprocess.py (features /
+# dets-cache); load_frame_features prefers it when every frame has one.
+DETS_F32 = "dets_f32.npy"
+
+
+def dets_to_f32(dets: list[dict]) -> np.ndarray:
+    """Pickle-schema det dicts -> (D, 6) float32 sidecar matrix."""
+    out = np.zeros((len(dets), 6), np.float32)
+    for i, d in enumerate(dets):
+        out[i, 0] = float(d["class"])
+        out[i, 1] = float(d["conf"])
+        out[i, 2:6] = np.asarray(d["rect"], np.float32).reshape(4)
+    return out
+
+
+def _frames_from_f32(dets_mat: np.ndarray, feat: np.ndarray) -> FrameDetections:
+    return FrameDetections(
+        classes=dets_mat[:, 0].astype(np.int64),
+        confs=dets_mat[:, 1].astype(np.float32),
+        rects=dets_mat[:, 2:6].astype(np.float32).reshape(-1, 4),
+        feats=feat,
+    )
+
+
 def load_frame_features(frame_paths: Sequence[str], use_native: bool = True,
                         feat_dim: int = FEAT_DIM,
                         max_dets: int = 128) -> list[FrameDetections]:
-    """Read dets.npy/feat.npy per frame directory (assign_pseudo_label.py:27-45).
+    """Read dets/feat per frame directory (assign_pseudo_label.py:27-45).
 
-    feat.npy files are plain float32 matrices and go through the native C++
-    parallel reader when available (utils/native_io); dets.npy are pickled
-    object arrays and stay on np.load.
+    Fast path: when every frame has a dets_f32.npy sidecar, BOTH the det
+    table and the feature matrix stream through the native C++ parallel
+    reader (utils/native_io) — no pickle parsing on the hot path. Otherwise
+    dets.npy goes through np.load(allow_pickle=True) like the reference,
+    with feat.npy still native when possible.
     """
     import os
+    if not frame_paths:
+        return []
+    lib = None
+    if use_native:
+        from ..utils.native_io import get_lib, read_feat_batch
+        lib = get_lib()
+
+    sidecars = [os.path.join(p, DETS_F32) for p in frame_paths]
+    if lib is not None and all(map(os.path.isfile, sidecars)):
+        try:
+            dpad, dcnt = read_feat_batch(sidecars, 6, max_rows_each=max_dets)
+            rows = max(int(dcnt.max()), 1)
+            fpad, fcnt = read_feat_batch(
+                [os.path.join(p, "feat.npy") for p in frame_paths],
+                feat_dim, max_rows_each=rows)
+            return [_frames_from_f32(dpad[i, :int(dcnt[i])],
+                                     fpad[i, :int(fcnt[i])])
+                    for i in range(len(frame_paths))]
+        except IOError:
+            pass  # malformed sidecar: fall through to the pickle path
+
     dets_all = [np.load(os.path.join(p, "dets.npy"), allow_pickle=True).tolist()
                 for p in frame_paths]
     feats_all: list[np.ndarray]
-    if use_native and frame_paths:
-        from ..utils.native_io import get_lib, read_feat_batch
-        if get_lib() is not None:
-            rows = max((len(d) for d in dets_all), default=1) or 1
-            try:
-                padded, counts = read_feat_batch(
-                    [os.path.join(p, "feat.npy") for p in frame_paths],
-                    feat_dim, max_rows_each=rows)
-                feats_all = [padded[i, :int(counts[i])]
-                             for i in range(len(frame_paths))]
-            except IOError:  # odd dtype/shape: fall back to numpy
-                use_native = False
-        else:
-            use_native = False
-    if not use_native:
+    if lib is not None:
+        rows = max((len(d) for d in dets_all), default=1) or 1
+        try:
+            padded, counts = read_feat_batch(
+                [os.path.join(p, "feat.npy") for p in frame_paths],
+                feat_dim, max_rows_each=rows)
+            feats_all = [padded[i, :int(counts[i])]
+                         for i in range(len(frame_paths))]
+        except IOError:  # odd dtype/shape: fall back to numpy
+            lib = None
+    if lib is None:
         feats_all = [np.asarray(np.load(os.path.join(p, "feat.npy")), np.float32)
                      for p in frame_paths]
     out = []

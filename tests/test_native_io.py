@@ -67,3 +67,41 @@ def test_fallback_without_native(tmp_path, rng, monkeypatch):
     out, counts = native_io.read_feat_batch([p], 4, 8)
     assert counts[0] == 5
     np.testing.assert_array_equal(out[0, :5], a)
+
+
+def test_dets_sidecar_fast_path_matches_pickle(tmp_path, rng, lib):
+    """load_frame_features with dets_f32.npy sidecars (fully native) returns
+    exactly what the pickle path returns."""
+    import os
+
+    from nl_vsgg_tpu.data.grounding import (DETS_F32, dets_to_f32,
+                                            load_frame_features)
+
+    paths = []
+    for f in range(3):
+        d = tmp_path / f"fr{f}"
+        d.mkdir()
+        n = int(rng.integers(1, 6))
+        dets = [{"class": int(rng.integers(0, 1595)),
+                 "conf": np.float32(rng.uniform(0.1, 1.0)),
+                 "rect": rng.uniform(0, 400, 4).astype(np.float32)}
+                for _ in range(n)]
+        np.save(d / "dets.npy", np.asarray(dets, object), allow_pickle=True)
+        np.save(d / DETS_F32, dets_to_f32(dets))
+        np.save(d / "feat.npy", rng.standard_normal((n, 32)).astype(np.float32))
+        paths.append(str(d))
+
+    fast = load_frame_features(paths, use_native=True, feat_dim=32)
+    slow = load_frame_features(paths, use_native=False, feat_dim=32)
+    for a, b in zip(fast, slow):
+        np.testing.assert_array_equal(a.classes, b.classes)
+        np.testing.assert_allclose(a.confs, b.confs, rtol=1e-6)
+        np.testing.assert_allclose(a.rects, b.rects, rtol=1e-6)
+        np.testing.assert_allclose(a.feats, b.feats)
+
+    # missing sidecar on one frame -> pickle path, same results
+    os.remove(os.path.join(paths[1], DETS_F32))
+    mixed = load_frame_features(paths, use_native=True, feat_dim=32)
+    for a, b in zip(mixed, slow):
+        np.testing.assert_array_equal(a.classes, b.classes)
+        np.testing.assert_allclose(a.feats, b.feats)

@@ -81,10 +81,31 @@ def cmd_features(args):
             os.makedirs(odir, exist_ok=True)
             np.save(os.path.join(odir, "dets.npy"),
                     np.asarray(per_img, object), allow_pickle=True)
+            # plain-float sidecar: lets training stream the det table through
+            # the native C++ reader instead of unpickling per frame
+            from nl_vsgg_tpu.data.grounding import DETS_F32, dets_to_f32
+            np.save(os.path.join(odir, DETS_F32), dets_to_f32(per_img))
             np.save(os.path.join(odir, "feat.npy"),
                     dets["features"][valid].astype(np.float32))
             n += 1
     print(f"extracted features for {n} frames -> {args.output}")
+
+
+def cmd_dets_cache(args):
+    """Generate dets_f32.npy sidecars for an existing dets.npy tree so the
+    hot grounding path can skip pickle parsing (one-time, idempotent)."""
+    from nl_vsgg_tpu.data.grounding import DETS_F32, dets_to_f32
+    n = 0
+    for root, _, files in os.walk(args.frame_features):
+        if "dets.npy" not in files:
+            continue
+        dst = os.path.join(root, DETS_F32)
+        if os.path.isfile(dst) and not args.force:
+            continue
+        dets = np.load(os.path.join(root, "dets.npy"), allow_pickle=True).tolist()
+        np.save(dst, dets_to_f32(dets))
+        n += 1
+    print(f"wrote {n} sidecars under {args.frame_features}")
 
 
 def cmd_dump_frames(args):
@@ -230,6 +251,11 @@ def main():
     s.add_argument("--output", required=True)
     s.add_argument("--checkpoint", default="")
     s.set_defaults(fn=cmd_features)
+
+    s = sub.add_parser("dets-cache")
+    s.add_argument("--frame_features", required=True)
+    s.add_argument("--force", action="store_true")
+    s.set_defaults(fn=cmd_dets_cache)
 
     s = sub.add_parser("dump-frames")
     s.add_argument("--videos", required=True)
