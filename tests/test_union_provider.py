@@ -117,3 +117,20 @@ def test_ground_video_populates_union_feat(tmp_path, rng):
     assert float(np.abs(uf[rm]).max()) > 0, "union features still zero"
     assert float(np.abs(uf[~rm]).max()) == 0, "padding rows must stay zero"
     assert log.warnings == []
+
+
+def test_cfg_dtype_reaches_models():
+    """cfg.dtype='bfloat16' must flow into both model builders (params stay
+    fp32; the compute dtype drives the MXU path)."""
+    import jax.numpy as jnp
+
+    from nl_vsgg_tpu.data import schema
+
+    train = _load_tool("train_STTran")
+    dsg = _load_tool("train_DSG_DETR")
+    tax = schema.load_taxonomy()
+    cfg = load_config(None, {"dtype": "bfloat16", "feat_dim": 64})
+    assert train.build_model(cfg, tax).dtype == jnp.bfloat16
+    assert dsg.build_model(cfg, tax).dtype == jnp.bfloat16
+    cfg32 = load_config(None, {"feat_dim": 64})
+    assert train.build_model(cfg32, tax).dtype is None

@@ -27,11 +27,13 @@ from train_STTran import parse_args, run_training
 
 
 def build_model(cfg, tax):
+    from train_STTran import compute_dtype
     g36 = obj_edge_vectors(list(tax.object_classes[1:]), 200, cfg.glove_path)
     g37 = obj_edge_vectors(list(tax.object_classes), 200, cfg.glove_path)
     return DSGDETR(mode=cfg.mode, obj_classes=tuple(tax.object_classes),
                    enc_layer_num=1, dec_layer_num=3,
-                   feat_dim=cfg.feat_dim, glove_obj36=g36, glove_obj37=g37)
+                   feat_dim=cfg.feat_dim, glove_obj36=g36, glove_obj37=g37,
+                   dtype=compute_dtype(cfg))
 
 
 def main():

@@ -63,12 +63,18 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def compute_dtype(cfg):
+    """cfg.dtype -> model compute dtype (params stay fp32; heads cast back)."""
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+
+
 def build_model(cfg, tax):
     g36 = obj_edge_vectors(list(tax.object_classes[1:]), 200, cfg.glove_path)
     g37 = obj_edge_vectors(list(tax.object_classes), 200, cfg.glove_path)
     return STTran(mode=cfg.mode, obj_classes=tuple(tax.object_classes),
                   enc_layer_num=cfg.enc_layer, dec_layer_num=cfg.dec_layer,
-                  feat_dim=cfg.feat_dim, glove_obj36=g36, glove_obj37=g37)
+                  feat_dim=cfg.feat_dim, glove_obj36=g36, glove_obj37=g37,
+                  dtype=compute_dtype(cfg))
 
 
 def make_union_provider(cfg, logger):
