@@ -85,6 +85,12 @@ def load_frame_features(frame_paths: Sequence[str], use_native: bool = True,
     reader (utils/native_io) — no pickle parsing on the hot path. Otherwise
     dets.npy goes through np.load(allow_pickle=True) like the reference,
     with feat.npy still native when possible.
+
+    `max_dets` caps detections per frame on BOTH paths (the native reader
+    has a fixed row budget; the pickle path clamps to the same value so the
+    two loaders can never diverge on the same frame). VinVL's postprocess
+    emits <=100 detections, so the default 128 never truncates real data; a
+    warning fires if it ever would.
     """
     import os
     if not frame_paths:
@@ -110,6 +116,11 @@ def load_frame_features(frame_paths: Sequence[str], use_native: bool = True,
 
     dets_all = [np.load(os.path.join(p, "dets.npy"), allow_pickle=True).tolist()
                 for p in frame_paths]
+    if any(len(d) > max_dets for d in dets_all):
+        import warnings
+        warnings.warn(f"a frame has more than max_dets={max_dets} detections; "
+                      f"truncating (raise max_dets to keep them)")
+        dets_all = [d[:max_dets] for d in dets_all]
     feats_all: list[np.ndarray]
     if lib is not None:
         rows = max((len(d) for d in dets_all), default=1) or 1
@@ -351,6 +362,24 @@ def wk_forward(frames: Sequence[FrameDetections], gt_annotation, is_train: bool,
     return build_entry(grounded, gt_annotation, is_train, bucket_boxes,
                        bucket_rels, union_feat_fn, feat_dim,
                        on_truncate=on_truncate)
+
+
+def entry_to_eval_pred(entry: Entry, pred: dict) -> dict:
+    """Model outputs + the Entry fields the evaluator needs, as host numpy.
+
+    One definition for every eval path (train epoch eval, test_STTran,
+    test_DSG_DETR sgcls) so the evaluator input can never silently diverge
+    between tools.
+    """
+    out = {k: np.asarray(v) for k, v in pred.items()}
+    out.update(boxes=np.asarray(entry.boxes),
+               pair_idx=np.asarray(entry.pair_idx),
+               im_idx=np.asarray(entry.im_idx),
+               rel_mask=np.asarray(entry.rel_mask),
+               box_mask=np.asarray(entry.box_mask),
+               labels=np.asarray(entry.labels),
+               scores=np.asarray(entry.scores))
+    return out
 
 
 def entry_to_pred(entry: Entry | None) -> dict:

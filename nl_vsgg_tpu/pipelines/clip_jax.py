@@ -114,15 +114,30 @@ class CLIPTextEncoder(nn.Module):
 
 # ---------------- weight conversion (with LoRA merging) ----------------
 
+def _lora_key_pairs(key: str) -> list[tuple[str, str]]:
+    """Candidate (lora_A, lora_B) key names for a weight tensor `key`.
+
+    Covers both '<stem>.lora_A' and '<stem>.lora_A.weight' spellings, and the
+    attention input projection whose tensor is named 'in_proj_weight' (no
+    '.weight' suffix) but whose adapters live under 'in_proj.lora_A'.
+    """
+    stems = []
+    if key.endswith(".weight"):
+        stems.append(key[: -len(".weight")])
+    if key.endswith("in_proj_weight"):
+        stems.append(key[: -len("_weight")])  # ...attn.in_proj
+    out = []
+    for s in stems:
+        out.append((s + ".lora_A", s + ".lora_B"))
+        out.append((s + ".lora_A.weight", s + ".lora_B.weight"))
+    return out
+
+
 def _merge_lora(sd: Mapping[str, Any], key: str, scale: float = 1.0) -> np.ndarray:
     """W + scale * (lora_B @ lora_A) when adapters exist for `key`."""
     w = np.asarray(sd[key], np.float32)
-    a_key = key.replace(".weight", ".lora_A")
-    b_key = key.replace(".weight", ".lora_B")
-    for ak, bk in ((a_key, b_key),
-                   (key.replace(".weight", ".lora_A.weight"),
-                    key.replace(".weight", ".lora_B.weight"))):
-        if ak != key and ak in sd and bk in sd:
+    for ak, bk in _lora_key_pairs(key):
+        if ak in sd and bk in sd:
             a = np.asarray(sd[ak], np.float32)
             b = np.asarray(sd[bk], np.float32)
             return w + scale * (b @ a)
@@ -191,17 +206,16 @@ def convert_clip_state_dict(sd: Mapping[str, Any], lora_scale: float = 1.0):
 def _t_linear_lora(x, sd, key, scale):
     """torch linear applying LoRA the way the DAC runtime does:
     y = x W^T + b + scale * (x A^T) B^T  — NOT via a pre-merged weight, so a
-    conversion-side merge bug cannot cancel out."""
+    conversion-side merge bug cannot cancel out. Shares _lora_key_pairs with
+    the converter so both sides resolve adapters identically; the coverage
+    check in validate_checkpoint catches adapter keys NEITHER side consumed."""
     import torch.nn.functional as F
     w = sd[key]
     # 'in_proj_weight' has no '.weight' suffix: its bias is added by the caller
     b = sd.get(key[:-7] + ".bias") if key.endswith(".weight") else None
     y = F.linear(x, w, b)
-    for ak, bk in ((key.replace(".weight", ".lora_A"),
-                    key.replace(".weight", ".lora_B")),
-                   (key.replace(".weight", ".lora_A.weight"),
-                    key.replace(".weight", ".lora_B.weight"))):
-        if ak != key and ak in sd and bk in sd:
+    for ak, bk in _lora_key_pairs(key):
+        if ak in sd and bk in sd:
             y = y + scale * F.linear(F.linear(x, sd[ak]), sd[bk])
             break
     return y
@@ -254,6 +268,15 @@ def validate_checkpoint(path: str, atol: float = 5e-3, lora_scale: float = 1.0,
     visual_params, text_params = convert_clip_state_dict(
         {k: v.numpy() for k, v in sd.items()}, lora_scale)
 
+    # adapter-coverage check: an adapter spelling neither side resolves would
+    # make both sides agree while diverging from the DAC runtime
+    consumable: set = set()
+    for k in sd:
+        for ak, bk in _lora_key_pairs(k):
+            consumable.add(ak)
+            consumable.add(bk)
+    orphans = sorted(k for k in sd if ".lora_" in k and k not in consumable)
+
     rng = np.random.default_rng(0)
     images = rng.standard_normal((2, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.float32)
     tokens = np.zeros((2, CONTEXT), np.int64)
@@ -302,6 +325,11 @@ def validate_checkpoint(path: str, atol: float = 5e-3, lora_scale: float = 1.0,
         status = "ok" if d <= atol * max(1.0, scale) else "FAIL"
         ok &= status == "ok"
         log(f"  {stage:<14} max|Δ| = {d:.3e}  (|ref|max {scale:.2e})  {status}")
+    if orphans:
+        ok = False
+        diffs["unconsumed_lora_keys"] = float(len(orphans))
+        log(f"  FAIL: {len(orphans)} LoRA adapter keys resolve to no weight "
+            f"(first: {orphans[0]}) — merge would silently skip them")
     diffs["_ok"] = float(ok)
     return diffs
 

@@ -85,11 +85,15 @@ def test_clip_stage_diffs_on_synthetic_lora_checkpoint(tmp_path, rng):
         sd[p + ".mlp.c_fc.bias"] = np.zeros(4 * w, np.float32)
         sd[p + ".mlp.c_proj.weight"] = lin(w, 4 * w)
         sd[p + ".mlp.c_proj.bias"] = np.zeros(w, np.float32)
-        # rank-4 LoRA on out_proj and c_fc (both naming variants in the wild)
+        # rank-4 LoRA on out_proj, c_fc, and the attention input projection
+        # (all naming variants in the wild, incl. in_proj whose weight key
+        # has no '.weight' suffix)
         sd[p + ".attn.out_proj.lora_A"] = lin(4, w, 0.1)
         sd[p + ".attn.out_proj.lora_B"] = lin(w, 4, 0.1)
         sd[p + ".mlp.c_fc.lora_A.weight"] = lin(4, w, 0.1)
         sd[p + ".mlp.c_fc.lora_B.weight"] = lin(4 * w, 4, 0.1)
+        sd[p + ".attn.in_proj.lora_A"] = lin(4, w, 0.1)
+        sd[p + ".attn.in_proj.lora_B"] = lin(3 * w, 4, 0.1)
 
     for i in range(C.VISION_LAYERS):
         block(f"visual.transformer.resblocks.{i}", C.VISION_WIDTH)
@@ -102,6 +106,15 @@ def test_clip_stage_diffs_on_synthetic_lora_checkpoint(tmp_path, rng):
     diffs = C.validate_checkpoint(path, atol=5e-3, log=logs.append)
     assert diffs.pop("_ok") == 1.0, "\n".join(logs)
     assert set(diffs) == {"visual_embed", "text_embed"}
+
+    # an adapter spelling nobody resolves must FAIL loudly, not agree-by-skip
+    sd["visual.unknown_module.lora_A"] = lin(4, C.VISION_WIDTH, 0.1)
+    path2 = str(tmp_path / "llm_cp_orphan.pt")
+    torch.save({"state_dict": {k: torch.as_tensor(v) for k, v in sd.items()}}, path2)
+    logs2 = []
+    diffs2 = C.validate_checkpoint(path2, atol=5e-3, log=logs2.append)
+    assert diffs2["_ok"] == 0.0
+    assert diffs2["unconsumed_lora_keys"] == 1.0
 
 
 def test_lora_merge_changes_weights(rng):

@@ -20,13 +20,14 @@ import jax.numpy as jnp
 
 from nl_vsgg_tpu.data import schema
 from nl_vsgg_tpu.data.action_genome import AGTest
+from nl_vsgg_tpu.data.grounding import entry_to_eval_pred
 from nl_vsgg_tpu.eval import SceneGraphEvaluator
 from nl_vsgg_tpu.train import create_train_state, make_eval_step, make_optimizer, stack_entries
 from nl_vsgg_tpu.utils.checkpoint import restore_checkpoint
 from nl_vsgg_tpu.utils.config import load_config
 from nl_vsgg_tpu.utils.logging import setup_logger
 
-from train_STTran import build_model, ground_video  # noqa: E402
+from train_STTran import build_model, ground_video, make_union_provider  # noqa: E402
 
 
 def make_gt_entry_builder(cfg):
@@ -87,7 +88,12 @@ def main():
         builder = make_gt_entry_builder(cfg)
         get_entry = lambda i: builder(ds_test, i, cfg.buckets)
     else:
-        get_entry = lambda i: ground_video(ds_test, i, cfg, False, cfg.buckets)
+        # same union-feature wiring as training — evaluating with zeroed
+        # union features against a checkpoint trained on real ones silently
+        # corrupts R@K (train/eval feature skew)
+        union_provider = make_union_provider(cfg, logger)
+        get_entry = lambda i: ground_video(ds_test, i, cfg, False, cfg.buckets,
+                                           union_provider=union_provider)
     sample = None
     for i in range(len(ds_test)):
         sample = get_entry(i)
@@ -109,11 +115,7 @@ def main():
             continue
         batch = stack_entries([jax.tree.map(jnp.asarray, e)])
         pred = eval_step(state, batch)
-        pd = {k: np.asarray(v[0]) for k, v in pred.items()}
-        pd.update(boxes=np.asarray(e.boxes), pair_idx=np.asarray(e.pair_idx),
-                  im_idx=np.asarray(e.im_idx), rel_mask=np.asarray(e.rel_mask),
-                  box_mask=np.asarray(e.box_mask), labels=np.asarray(e.labels),
-                  scores=np.asarray(e.scores))
+        pd = entry_to_eval_pred(e, {k: np.asarray(v[0]) for k, v in pred.items()})
         evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], pd)
         if args.device_eval:
             from nl_vsgg_tpu.eval.recall_jax import device_eval_video

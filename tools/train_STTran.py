@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from nl_vsgg_tpu.data import schema
 from nl_vsgg_tpu.data.action_genome import AGTest, AGTrain
 from nl_vsgg_tpu.data.entry import pick_bucket
-from nl_vsgg_tpu.data.grounding import load_frame_features, wk_forward
+from nl_vsgg_tpu.data.grounding import (entry_to_eval_pred,
+                                        load_frame_features, wk_forward)
 from nl_vsgg_tpu.data.pipeline import (GroundingPrefetcher, TruncationCounter,
                                        bucket_batches)
 from nl_vsgg_tpu.eval import SceneGraphEvaluator
@@ -166,14 +167,7 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
         batch = stack_entries([jax.tree.map(jnp.asarray, e) for _, e in items])
         pred = jax.device_get(eval_step(state, batch))
         for bi, (i, e) in enumerate(items):
-            p = {k: np.asarray(v[bi]) for k, v in pred.items()}
-            p.update(boxes=np.asarray(e.boxes),
-                     pair_idx=np.asarray(e.pair_idx),
-                     im_idx=np.asarray(e.im_idx),
-                     rel_mask=np.asarray(e.rel_mask),
-                     box_mask=np.asarray(e.box_mask),
-                     labels=np.asarray(e.labels),
-                     scores=np.asarray(e.scores))
+            p = entry_to_eval_pred(e, {k: v[bi] for k, v in pred.items()})
             evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
 
     for i, e in prefetcher:
@@ -210,11 +204,15 @@ def run_training(cfg, args, build_model_fn):
     model = build_model_fn(cfg, tax)
     rng = jax.random.key(cfg.seed)
     union_provider = make_union_provider(cfg, logger)
+    # separate counters: eval-split truncations must not masquerade as
+    # train-label loss in the next epoch's warning
     trunc = TruncationCounter()
+    trunc_eval = TruncationCounter()
 
     def ground(ds, idx, is_train):
         return ground_video(ds, int(idx), cfg, is_train, cfg.buckets,
-                            union_provider=union_provider, on_truncate=trunc.add)
+                            union_provider=union_provider,
+                            on_truncate=trunc.add if is_train else trunc_eval.add)
 
     # init from the first groundable video's bucket
     sample = None
@@ -322,6 +320,11 @@ def run_training(cfg, args, build_model_fn):
         evaluator = evaluate_epoch(cfg, tax, ds_test, n_test,
                                    lambda i: ground(ds_test, i, False),
                                    eval_step, state)
+        ev, eb, er = trunc_eval.take()
+        if ev:
+            logger.warning(
+                f"epoch {epoch} eval: bucket truncation dropped {eb} boxes / "
+                f"{er} relations across {ev} test videos — enlarge cfg.buckets")
         score = evaluator.mean_score(20)
         evaluator.calculate_mean_recall()
         logger.info(f"------------Inference in Epoch ({epoch})------------")
