@@ -312,9 +312,11 @@ def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool
         uf = np.zeros((n_rels, POOL, POOL, feat_dim), np.float32)
 
     if compute_spatial_masks:
-        from ..ops.union_masks import draw_union_boxes
+        # numpy twin: grounding is host-side; the XLA version would dispatch
+        # to the default device from the prefetch workers (2 round trips)
+        from ..ops.union_masks import draw_union_boxes_np
         pair_rois = np.concatenate([boxes[pair_np[:, 0]], boxes[pair_np[:, 1]]], 1)
-        masks = np.asarray(draw_union_boxes(pair_rois, MASK_P)) - 0.5  # :1359-1363
+        masks = draw_union_boxes_np(pair_rois, MASK_P) - 0.5  # :1359-1363
     else:
         masks = np.zeros((n_rels, MASK_P, MASK_P, 2), np.float32)
 

@@ -64,3 +64,44 @@ def draw_union_boxes(pair_rois: jnp.ndarray, pooling_size: int = 27,
 
 
 draw_union_boxes_jit = jax.jit(draw_union_boxes, static_argnames=("pooling_size", "as_nchw"))
+
+
+def draw_union_boxes_np(pair_rois, pooling_size: int = 27,
+                        as_nchw: bool = False):
+    """Numpy twin of draw_union_boxes for the HOST data path.
+
+    Grounding runs on worker threads; dispatching the mask math to the
+    default device from there costs two device round trips per video (and on
+    a tunneled chip, ~50 ms of transfer latency each). Same closed form,
+    parity-tested against the XLA version.
+    """
+    import numpy as np
+    pair_rois = np.asarray(pair_rois, np.float32)
+    P = pooling_size
+    boxes = pair_rois.reshape(*pair_rois.shape[:-1], 2, 4)
+
+    x1u = boxes[..., 0].min(-1, keepdims=True)
+    y1u = boxes[..., 1].min(-1, keepdims=True)
+    x2u = boxes[..., 2].max(-1, keepdims=True)
+    y2u = boxes[..., 3].max(-1, keepdims=True)
+    w = np.maximum(x2u - x1u, 1e-8)
+    h = np.maximum(y2u - y1u, 1e-8)
+
+    x1 = (boxes[..., 0] - x1u) * P / w
+    y1 = (boxes[..., 1] - y1u) * P / h
+    x2 = (boxes[..., 2] - x1u) * P / w
+    y2 = (boxes[..., 3] - y1u) * P / h
+
+    grid = np.arange(P, dtype=np.float32)
+
+    def ramps(lo, hi):
+        g = grid.reshape((1,) * lo.ndim + (P,))
+        return (np.clip(g + 1.0 - lo[..., None], 0.0, 1.0)
+                * np.clip(hi[..., None] - g, 0.0, 1.0))
+
+    yr = ramps(y1, y2)
+    xr = ramps(x1, x2)
+    masks = yr[..., :, None] * xr[..., None, :]
+    if as_nchw:
+        return masks
+    return np.moveaxis(masks, -3, -1)

@@ -225,3 +225,17 @@ def test_roi_align_grad_finite(rng):
     rois = jnp.asarray(rand_boxes(rng, 3, size=200.0))
     g = jax.grad(lambda f: roi_align(f, rois).sum())(fmap)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_draw_union_boxes_np_matches_xla(rng):
+    """The host-path numpy twin must match the XLA rasterizer exactly."""
+    from nl_vsgg_tpu.ops.union_masks import draw_union_boxes, draw_union_boxes_np
+
+    rois = rng.uniform(0, 400, (17, 8)).astype(np.float32)
+    rois[3] = 0.0  # degenerate padded pair stays finite
+    a = np.asarray(draw_union_boxes(rois, 27))
+    b = draw_union_boxes_np(rois, 27)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    a = np.asarray(draw_union_boxes(rois, 27, as_nchw=True))
+    b = draw_union_boxes_np(rois, 27, as_nchw=True)
+    np.testing.assert_allclose(a, b, atol=1e-6)
