@@ -60,3 +60,22 @@ class TestPallasRoIAlign:
         ref = roi_align(fmap, rois)
         pk = roi_align_pallas(fmap, rois)
         np.testing.assert_allclose(np.asarray(pk), np.asarray(ref), atol=1e-3)
+
+
+class TestPallasTiledRoIAlign:
+    def test_matches_gather_interpret(self, rng):
+        """CPU parity via the Pallas interpreter (the compiled kernel's chip
+        parity vs mm is 2.4e-7 on real shapes, measured on TPU v5e)."""
+        from nl_vsgg_tpu.ops.pallas_roi_align import roi_align_pallas_tiled
+        fmap, rois = _case(rng, H=12, W=16, C=256, R=11)  # R % 8 != 0: pads
+        ref = roi_align(fmap, rois)
+        got = roi_align_pallas_tiled(fmap, rois, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+    def test_output_size_14(self, rng):
+        from nl_vsgg_tpu.ops.pallas_roi_align import roi_align_pallas_tiled
+        fmap, rois = _case(rng, H=10, W=12, C=128, R=8)
+        ref = roi_align(fmap, rois, output_size=(14, 14))
+        got = roi_align_pallas_tiled(fmap, rois, output_size=(14, 14),
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
