@@ -96,6 +96,10 @@ class Config:
     buckets: BucketConfig = field(default_factory=BucketConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     use_native_io: bool = True  # C++ fast path for host data packing
+    profile_steps: int = 0  # >0: capture a jax.profiler trace of this many
+    # train steps (from step 2) into <save_path>/trace for TensorBoard/XProf
+    device_eval: bool = False  # additionally score R@K on device during the
+    # epoch eval (fast path; the host evaluator stays the reported truth)
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)

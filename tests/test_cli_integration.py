@@ -25,12 +25,16 @@ def _load_tool(name):
 
 @pytest.mark.slow
 def test_train_then_eval_roundtrip(tmp_path, monkeypatch, capsys):
-    ag = build_micro_ag(str(tmp_path), n_videos=2, n_frames=3, feat_dim=32)
+    # 6 videos -> 3 train steps, so the profile_steps trace (starting at
+    # global step 2) actually fires
+    ag = build_micro_ag(str(tmp_path), n_videos=6, n_frames=3, feat_dim=32)
     cfg = {"mode": "sgdet", "lr": 1e-4, "nepoch": 1, "enc_layer": 1, "dec_layer": 1,
            "feat_dim": 32, "bce_loss": True, "batch_videos": 2, "data_path": ag,
            "pseudo_localized_SG_path": os.path.join(ag, "final_ag_data_w_neg.pkl"),
            "frame_features_path": os.path.join(ag, "frame_features"),
-           "save_path": str(tmp_path / "out")}
+           "save_path": str(tmp_path / "out"),
+           # exercise the observability/extra-eval knobs end-to-end
+           "device_eval": True, "profile_steps": 1}
     cfg_path = str(tmp_path / "cfg.yml")
     with open(cfg_path, "w") as f:
         yaml.dump(cfg, f)
@@ -40,6 +44,7 @@ def test_train_then_eval_roundtrip(tmp_path, monkeypatch, capsys):
     train.main()
     assert os.path.isdir(os.path.join(cfg["save_path"], "ckpt", "0"))
     assert os.path.isfile(os.path.join(cfg["save_path"], "metrics.jsonl"))
+    assert os.path.isdir(os.path.join(cfg["save_path"], "trace"))  # profiler
 
     test = _load_tool("test_STTran")
     monkeypatch.setattr(sys, "argv", ["test_STTran.py", "--cfg", cfg_path,

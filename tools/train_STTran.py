@@ -148,13 +148,15 @@ def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
 
 
 def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
-                   evaluator=None):
+                   evaluator=None, device_recalls=None):
     """Streaming evaluation over the test split (train_STTran.py:210-232).
 
     Entries are grounded by the prefetcher, grouped into at most ONE pending
     batch per bucket, scored and immediately dropped — peak host memory is
     independent of the split size (round 1 held every padded Entry, ~90 GB at
-    real AG scale).
+    real AG scale). Pass a list as `device_recalls` (or set cfg.device_eval)
+    to also score R@K with the on-device scorers (eval/recall_jax.py); the
+    host evaluator remains the reported source of truth.
     """
     if evaluator is None:
         evaluator = SceneGraphEvaluator(mode=cfg.mode, taxonomy=tax)
@@ -169,6 +171,10 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
         for bi, (i, e) in enumerate(items):
             p = entry_to_eval_pred(e, {k: v[bi] for k, v in pred.items()})
             evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
+            if device_recalls is not None:
+                from nl_vsgg_tpu.eval.recall_jax import device_eval_video
+                device_recalls.append(device_eval_video(
+                    e, p, ds_test.gt_annotations[i], evaluator, f_bucket=32))
 
     for i, e in prefetcher:
         if e is None:
@@ -209,10 +215,14 @@ def run_training(cfg, args, build_model_fn):
     trunc = TruncationCounter()
     trunc_eval = TruncationCounter()
 
+    from nl_vsgg_tpu.utils.profiling import PhaseTimer
+    timer = PhaseTimer()
+
     def ground(ds, idx, is_train):
-        return ground_video(ds, int(idx), cfg, is_train, cfg.buckets,
-                            union_provider=union_provider,
-                            on_truncate=trunc.add if is_train else trunc_eval.add)
+        with timer("grounding(host)"):
+            return ground_video(ds, int(idx), cfg, is_train, cfg.buckets,
+                                union_provider=union_provider,
+                                on_truncate=trunc.add if is_train else trunc_eval.add)
 
     # init from the first groundable video's bucket
     sample = None
@@ -293,15 +303,32 @@ def run_training(cfg, args, build_model_fn):
         prefetcher = GroundingPrefetcher(
             lambda idx: ground(ds_train, idx, True),
             order.tolist(), num_workers=cfg.num_workers)
+        profiling = False
         for bucket_entries in bucket_batches(iter(prefetcher), cfg.batch_videos):
             n_seen += len(bucket_entries)
-            batch = stack_entries([jax.tree.map(jnp.asarray, e) for e in bucket_entries])
-            batch = place_batch(batch)
-            state, m = train_step(state, batch, jax.random.fold_in(rng, global_step))
+            with timer("batch_build"):
+                batch = stack_entries([jax.tree.map(jnp.asarray, e) for e in bucket_entries])
+                batch = place_batch(batch)
+            if cfg.profile_steps and epoch == start_epoch and global_step == 2:
+                try:  # on-demand XProf trace (SURVEY.md §5: reference has none)
+                    jax.profiler.start_trace(os.path.join(cfg.save_path, "trace"))
+                    profiling = True
+                except Exception as e:  # platform may not support tracing
+                    logger.warning(f"profiler trace unavailable: {e!r}")
+            with timer("step_dispatch"):  # async dispatch; device time is not
+                state, m = train_step(state, batch, jax.random.fold_in(rng, global_step))
             global_step += 1
+            if profiling and global_step >= 2 + cfg.profile_steps:
+                jax.block_until_ready(m["total"])
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info(f"wrote {cfg.profile_steps}-step trace to "
+                            f"{os.path.join(cfg.save_path, 'trace')}")
             if global_step % 100 == 0:
                 metrics.write(global_step, **{k: float(v) for k, v in m.items()})
                 logger.info(f"e{epoch} step {global_step} loss {float(m['total']):.4f}")
+        if profiling:
+            jax.profiler.stop_trace()
 
         tv, tb, tr = trunc.take()
         if tv:
@@ -313,13 +340,21 @@ def run_training(cfg, args, build_model_fn):
                           truncated_boxes=tb, truncated_rels=tr)
         logger.info(f"epoch {epoch} done in {(time.time()-t0)/60:.1f} min "
                     f"({n_seen} videos, skipped {int(state.skipped)})")
+        logger.info("host phases:\n" + timer.summary())
         save_checkpoint(os.path.join(cfg.save_path, "ckpt"), epoch, state,
                         config_json=cfg.to_json())
 
         # ---- per-epoch evaluation (train_STTran.py:210-232), streamed ----
+        device_recalls = [] if cfg.device_eval else None
         evaluator = evaluate_epoch(cfg, tax, ds_test, n_test,
                                    lambda i: ground(ds_test, i, False),
-                                   eval_step, state)
+                                   eval_step, state,
+                                   device_recalls=device_recalls)
+        if device_recalls:
+            for name in ("recall", "recall_nogc", "semi"):
+                r = np.concatenate([d[name] for d in device_recalls])
+                logger.info("device %s: R@10 %.4f R@20 %.4f R@50 %.4f"
+                            % (name, *r.mean(0)))
         ev, eb, er = trunc_eval.take()
         if ev:
             logger.warning(
