@@ -1,0 +1,198 @@
+"""Export scene graphs for unannotated videos (batch serving CLI).
+
+The reference has no deployment entry point: its sgdet "inference" path is
+only ever driven by the evaluator over annotated test videos
+(tools/test_STTran.py:75-92). This tool closes that gap — it runs the same
+weak-supervision sgdet pipeline (cached VinVL detections -> OI->AG class
+mapping -> Entry -> STTran/DSG-DETR -> relation distributions) over videos
+WITHOUT any annotations and writes one JSON scene graph per video.
+
+The grounding engine already supports annotation-free operation: in test
+mode the OI->AG mapping keeps every mapped class and pairs the person with
+every object (lib/assign_pseudo_label.py:1290-1292 — the `is_train=False`
+branch never reads GT), so an empty per-frame GT list yields the full
+detector-driven graph.
+
+Usage:
+    python tools/predict.py --cfg configs/nl_vsgg_config.yml \
+        --model_path out/ckpt --features_dir data/frame_features \
+        [--videos vid1.mp4 vid2.mp4] [--out scene_graphs.jsonl] \
+        [--topk 100] [--dsg_detr]
+
+Input layout: features_dir/{video}/{frame}/dets.npy + feat.npy — the cache
+written by `tools/preprocess.py features` (reference
+NL-VSGG/data_preprocess/extract_bbox_features_ag.py:108-120).
+
+Output: JSONL, one object per video:
+    {"video", "num_frames", "objects": [{"frame", "box", "label", "score"}],
+     "triplets": [{"frame", "subject", "object", "predicate", "score"}]}
+`subject`/`object` index into `objects`; triplets carry all three predicate
+heads (attention argmax + sigmoided spatial/contacting), ranked by
+score * subj_score * obj_score (the no-graph-constraint ordering,
+lib/evaluation_recall.py:321-353), capped at --topk per video.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from nl_vsgg_tpu.data import schema
+from nl_vsgg_tpu.train import create_train_state, make_eval_step, make_optimizer, stack_entries
+from nl_vsgg_tpu.utils.checkpoint import restore_checkpoint
+from nl_vsgg_tpu.utils.config import load_config
+from nl_vsgg_tpu.utils.logging import setup_logger
+
+from train_STTran import build_model, ground_video, make_union_provider  # noqa: E402
+
+
+class UnlabeledVideos:
+    """Duck-typed stand-in for AGTest over bare feature directories: the
+    `video_list` / `gt_annotations` surface that ground_video and
+    make_union_provider expect, with empty per-frame GT."""
+
+    def __init__(self, features_root: str, videos: list[str] | None = None):
+        vids = videos or sorted(
+            d for d in os.listdir(features_root)
+            if os.path.isdir(os.path.join(features_root, d)))
+        if not vids:
+            raise SystemExit(f"no video directories under {features_root}")
+        self.video_ids = vids
+        self.video_list = []
+        for vid in vids:
+            vdir = os.path.join(features_root, vid)
+            frames = sorted(d for d in os.listdir(vdir)
+                            if os.path.isdir(os.path.join(vdir, d)))
+            if not frames:
+                raise SystemExit(f"video {vid} has no frame directories")
+            self.video_list.append([os.path.join(vid, f) for f in frames])
+        self.gt_annotations = [[[] for _ in fl] for fl in self.video_list]
+
+    def __len__(self):
+        return len(self.video_list)
+
+
+def scene_graph_json(video_id: str, entry, pred: dict, tax, topk: int) -> dict:
+    """Padded Entry + model outputs -> JSON-serializable scene graph."""
+    box_mask = np.asarray(entry.box_mask)
+    rel_mask = np.asarray(entry.rel_mask)
+    boxes = np.asarray(entry.boxes)
+    labels = np.asarray(entry.labels)
+    scores = np.asarray(entry.scores)
+    box_frame = np.asarray(entry.box_frame)
+    pair = np.asarray(entry.pair_idx)
+    im_idx = np.asarray(entry.im_idx)
+
+    n_boxes = int(box_mask.sum())
+    objects = [{
+        "frame": int(box_frame[i]),
+        "box": [round(float(x), 2) for x in boxes[i]],
+        "label": tax.object_classes[int(labels[i])],
+        "score": round(float(scores[i]), 4),
+    } for i in range(n_boxes)]
+
+    att = np.asarray(jax.nn.softmax(pred["attention_distribution"], axis=-1))
+    sp = np.asarray(pred["spatial_distribution"])
+    con = np.asarray(pred["contacting_distribution"])
+
+    triplets = []
+    for r in range(len(pair)):
+        if not rel_mask[r]:
+            continue
+        s, o = int(pair[r, 0]), int(pair[r, 1])
+        pair_score = float(scores[s]) * float(scores[o])
+        a = int(att[r].argmax())
+        triplets.append((float(att[r, a]) * pair_score, r, s, o,
+                         tax.attention_relationships[a], float(att[r, a])))
+        for j, name in enumerate(tax.spatial_relationships):
+            triplets.append((float(sp[r, j]) * pair_score, r, s, o,
+                             name, float(sp[r, j])))
+        for j, name in enumerate(tax.contacting_relationships):
+            triplets.append((float(con[r, j]) * pair_score, r, s, o,
+                             name, float(con[r, j])))
+    triplets.sort(key=lambda t: -t[0])
+    out_trip = [{
+        "frame": int(im_idx[r]), "subject": s, "object": o,
+        "predicate": name, "score": round(rel_score, 4),
+        "ranking_score": round(rank, 6),
+    } for rank, r, s, o, name, rel_score in triplets[:topk]]
+
+    return {"video": video_id, "num_frames": int(entry.num_frames),
+            "objects": objects, "triplets": out_trip}
+
+
+def main():
+    p = argparse.ArgumentParser(description="scene-graph export (sgdet)")
+    p.add_argument("--cfg", dest="cfg_file", default=None)
+    p.add_argument("--model_path", required=True, help="Orbax checkpoint dir")
+    p.add_argument("--features_dir", required=True,
+                   help="root of cached VinVL features ({video}/{frame}/dets.npy)")
+    p.add_argument("--videos", nargs="*", default=None,
+                   help="video ids (default: every subdirectory)")
+    p.add_argument("--out", default="-", help="output JSONL path ('-' = stdout)")
+    p.add_argument("--topk", type=int, default=100,
+                   help="triplets kept per video (nogc ranking)")
+    p.add_argument("--dsg_detr", action="store_true",
+                   help="serve a DSG-DETR checkpoint instead of STTran")
+    args = p.parse_args()
+
+    import dataclasses
+    cfg = dataclasses.replace(load_config(args.cfg_file), mode="sgdet",
+                              frame_features_path=args.features_dir)
+    logger = setup_logger()
+    tax = schema.load_taxonomy()
+    ds = UnlabeledVideos(args.features_dir, args.videos)
+    logger.info(f"videos to export: {len(ds)}")
+
+    if args.dsg_detr:
+        from train_DSG_DETR import build_model as build_dsg
+        model = build_dsg(cfg, tax)
+    else:
+        model = build_model(cfg, tax)
+    union_provider = make_union_provider(cfg, logger)
+
+    get_entry = lambda i: ground_video(ds, i, cfg, False, cfg.buckets,
+                                       union_provider=union_provider)
+    sample = None
+    for i in range(len(ds)):
+        sample = get_entry(i)
+        if sample is not None:
+            break
+    if sample is None:
+        raise SystemExit("no video produced any relations")
+    state, _ = create_train_state(model, sample, jax.random.key(cfg.seed),
+                                  tx=make_optimizer(cfg.lr))
+    state = restore_checkpoint(args.model_path, state)
+    eval_step = jax.jit(make_eval_step(model))
+
+    sink = sys.stdout if args.out == "-" else open(args.out, "w")
+    n_exported = 0
+    try:
+        for i in range(len(ds)):
+            e = get_entry(i)
+            if e is None:
+                logger.warning(f"{ds.video_ids[i]}: no relations (skipped)")
+                continue
+            batch = stack_entries([jax.tree.map(jnp.asarray, e)])
+            pred = eval_step(state, batch)
+            pred = {k: np.asarray(v[0]) for k, v in pred.items()}
+            sg = scene_graph_json(ds.video_ids[i], e, pred, tax, args.topk)
+            sink.write(json.dumps(sg) + "\n")
+            n_exported += 1
+    finally:
+        if sink is not sys.stdout:
+            sink.close()
+    logger.info(f"exported {n_exported}/{len(ds)} scene graphs")
+
+
+if __name__ == "__main__":
+    main()
