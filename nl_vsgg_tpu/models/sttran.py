@@ -134,19 +134,38 @@ class STTranTransformer(nn.Module):
                         (2, self.embed_dim))
         pos = pe[slot]
         tokens = jnp.concatenate([local, local], axis=-2)        # (2R, D)
-        for i in range(self.dec_layers):
-            tokens = MaskedDecoderLayer(self.embed_dim, self.num_heads,
-                                        self.dim_feedforward, self.dropout,
-                                        dtype=self.dtype,
-                                        name=f"dec_{i}")(tokens, pos, allow_t, det)
-        former, latter = tokens[..., :R, :], tokens[..., R:, :]
+        dec = [MaskedDecoderLayer(self.embed_dim, self.num_heads,
+                                  self.dim_feedforward, self.dropout,
+                                  dtype=self.dtype, name=f"dec_{i}")
+               for i in range(self.dec_layers)]
 
         if self.mode == "both":
+            for layer in dec:
+                tokens = layer(tokens, pos, allow_t, det)
+            former, latter = tokens[..., :R, :], tokens[..., R:, :]
             mid = 0.5 * (former + latter)
             out = jnp.where((im_idx == 0)[..., None], former,
                             jnp.where((im_idx == num_frames - 1)[..., None], latter, mid))
         else:  # 'latter' (shipped config, lib/sttran.py:358)
-            out = jnp.where((im_idx == 0)[..., None], former, latter)
+            # Only R of the 2R stream rows ever reach the output: the latter
+            # row of each relation, except frame 0 which uses its former row.
+            # All 2R rows are needed as K/V context through the second-to-last
+            # layer, but the LAST layer's query/FFN work is computed for just
+            # those R output rows (identical per-row math; ~1/6 of decoder
+            # FLOPs saved at dec_layers=3).
+            for layer in dec[:-1]:
+                tokens = layer(tokens, pos, allow_t, det)
+            is0 = im_idx == 0
+            q_tokens = jnp.where(is0[..., None], tokens[..., :R, :],
+                                 tokens[..., R:, :])
+            q_window = jnp.where(is0, im_idx, im_idx - 1)
+            q_slot = jnp.where(is0, 0, 1)
+            q_valid = jnp.where(is0, rel_mask & (im_idx <= last_window),
+                                rel_mask & (im_idx >= 1))
+            allow_q = (q_window[..., :, None] == window[..., None, :]) \
+                & q_valid[..., :, None] & valid[..., None, :]
+            out = dec[-1](q_tokens, pe[q_slot], allow_q, det,
+                          kv=tokens, pos_kv=pos)
         # single-frame videos: no windows exist -> spatial output passes through
         out = jnp.where(num_frames > 1, out, local)
         return jnp.where(rel_mask[..., None], out, 0.0)
