@@ -100,6 +100,11 @@ class Config:
     # train steps (from step 2) into <save_path>/trace for TensorBoard/XProf
     device_eval: bool = False  # additionally score R@K on device during the
     # epoch eval (fast path; the host evaluator stays the reported truth)
+    prng_impl: str = "rbg"  # PRNG for training randomness (dropout / label
+    # sampling): "rbg" is ~16% faster per train step on TPU than jax's
+    # default threefry2x32 (measured: 120 -> 101 ms at batch 64); both are
+    # counter-based and reproducible, the streams just differ. Set
+    # "threefry2x32" to reproduce runs recorded before this knob existed.
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)

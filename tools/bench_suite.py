@@ -52,11 +52,14 @@ def bench_train_step(iters: int):
     state, tx = create_train_state(model, entries[0], jax.random.key(0), tx=tx)
     batch = jax.tree.map(jnp.asarray, stack_entries(entries))
     step = make_train_step(model, tx, bce=True)
+    # rbg keys, like the production loop (cfg.prng_impl): threefry dropout
+    # bits alone cost ~16% of the step
+    key1 = jax.random.key(1, impl="rbg")
 
     @jax.jit
     def chained(state, batch):
         def body(i, st):
-            st, _ = step(st, batch, jax.random.fold_in(jax.random.key(1), i))
+            st, _ = step(st, batch, jax.random.fold_in(key1, i))
             return st
         st = lax.fori_loop(0, iters, body, state)
         # the fetched scalar must depend on the params, or XLA's while-loop
@@ -138,15 +141,55 @@ def bench_device_recall(iters: int):
     print(f"device R@K  32f x 96rels     : {dt / iters * 1e3:8.3f} ms/video")
 
 
+def bench_detector(iters: int):
+    """VinVL-JAX detect_batch (backbone + RPN + box head + NMS) on an 8-frame
+    video bucket at the 600/1000 input scale — the offline feature-extraction
+    path (reference loops per-frame at batch 4,
+    NL-VSGG/data_preprocess/extract_bbox_features_ag.py:78). Random weights:
+    the FLOPs and shapes are the real model's."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from nl_vsgg_tpu.detector.anchors import grid_anchors
+    from nl_vsgg_tpu.detector.attr_rcnn import AttrRCNNJax
+
+    F, H, W = 8, 608, 1024
+    det = AttrRCNNJax.create()
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((F, H, W, 3)).astype(np.float32))
+    anchors = jnp.asarray(grid_anchors(H // 16, W // 16))
+    im_hw = jnp.asarray([600.0, 1013.0], jnp.float32)
+    inner = det._detect_batch
+
+    @jax.jit
+    def chained(v, imgs):
+        def body(i, c):
+            out = inner(v, imgs + c * 1e-30, anchors, im_hw)
+            return c + jnp.sum(out) * 1e-30
+        return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    flops = float(jax.jit(lambda v, i: inner(v, i, anchors, im_hw))
+                  .lower(det.variables, imgs).compile().cost_analysis()["flops"])
+    dt = timed(lambda v, i: float(chained(v, i)), det.variables, imgs) / iters
+    print(f"detector    {F}f x {H}x{W}      : {dt * 1e3:8.2f} ms/video "
+          f"({F / dt:,.0f} frames/s, {flops / dt / 1e12:.0f} TFLOP/s, "
+          f"{flops / 1e12:.2f} TFLOP/call)")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--detector", action="store_true",
+                   help="also bench the VinVL-JAX detector (long compile)")
     args = p.parse_args()
     import jax
     print(f"# device: {jax.devices()[0].device_kind}")
     bench_roi_align(args.iters)
     bench_device_recall(args.iters)
     bench_train_step(args.iters)
+    if args.detector:
+        bench_detector(args.iters)
 
 
 if __name__ == "__main__":

@@ -208,7 +208,9 @@ def run_training(cfg, args, build_model_fn):
     logger.info(f"train videos: {len(ds_train)}, test videos: {len(ds_test)}")
 
     model = build_model_fn(cfg, tax)
-    rng = jax.random.key(cfg.seed)
+    # rbg PRNG: the per-step dropout/label-sampling bits are ~16% of the
+    # train step under the default threefry (see cfg.prng_impl)
+    rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
     union_provider = make_union_provider(cfg, logger)
     # separate counters: eval-split truncations must not masquerade as
     # train-label loss in the next epoch's warning
