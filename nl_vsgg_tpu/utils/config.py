@@ -45,6 +45,15 @@ class MeshConfig:
 @dataclass(frozen=True)
 class Config:
     # --- reference flags (lib/config.py:10-59) ---
+    # Every reference key is accepted so its YAML configs stay drop-in. Keys
+    # that are dead in the reference itself (gpu_id, multi_gpus, schedule,
+    # optimizer, teacher_model_path, exp_name, datasize, lr_drop,
+    # fraction_warmup_steps, text_encoder_lr, lr_backbone, loss,
+    # ws_object_bbox_path — none are read by its live train/test paths) are
+    # parsed-but-inert here too; tensorboard_name is subsumed by the JSONL
+    # MetricWriter, model_path by the --model_path CLI arg. Keys with live
+    # semantics (is_wks, transformer_mode, bce_loss, ...) are validated at
+    # tool startup rather than silently ignored.
     gpu_id: int = 0
     multi_gpus: bool = False
     num_workers: int = 4
@@ -80,8 +89,7 @@ class Config:
 
     # --- TPU-native additions ---
     seed: int = 1000
-    dtype: str = "float32"  # compute dtype: float32 | bfloat16
-    param_dtype: str = "float32"
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16 (params stay fp32)
     grad_clip_norm: float = 5.0  # tools/train_STTran.py:193
     weight_decay: float = 1e-2  # lib/AdamW.py default
     batch_videos: int = 1  # videos per step per device (reference: 1 total)

@@ -70,6 +70,16 @@ def compute_dtype(cfg):
 
 
 def build_model(cfg, tax):
+    # the masked STTranTransformer implements the shipped 'wk' variant
+    # (lib/transformer_wk.py, selected at lib/sttran.py:358) exactly — golden
+    # incl. empty-frame dropping; the 'default' lib/transformer.py variant
+    # differs only in empty-frame handling and is not provided (PARITY §2.6).
+    # Refuse rather than silently ignore the key.
+    if cfg.transformer_mode != "wk":
+        raise ValueError(
+            f"transformer_mode={cfg.transformer_mode!r} is not supported: the "
+            "TPU module implements the shipped 'wk' semantics (the reference's "
+            "other variants differ only in empty-frame handling; see PARITY.md)")
     g36 = obj_edge_vectors(list(tax.object_classes[1:]), 200, cfg.glove_path)
     g37 = obj_edge_vectors(list(tax.object_classes), 200, cfg.glove_path)
     return STTran(mode=cfg.mode, obj_classes=tuple(tax.object_classes),
@@ -192,6 +202,15 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
 def run_training(cfg, args, build_model_fn):
     """The shared training loop (STTran and DSG-DETR differ only in the model
     builder — the reference duplicates the whole file, tools/train_DSG_DETR.py)."""
+    if cfg.mode == "sgdet" and not cfg.is_wks:
+        # the reference's non-wks sgdet needs an AG-trained detector
+        # (lib/sttran.py:185-283); the library path exists (models/
+        # sgdet_infer + data/infer_entry, oracle-tested) but the shipped
+        # NL-VSGG training recipe is weak-supervision-only — refuse rather
+        # than silently train the wrong branch
+        raise ValueError("is_wks=false sgdet training is not a shipped "
+                         "NL-VSGG recipe; see models/sgdet_infer for the "
+                         "non-wks inference path")
     logger = setup_logger(save_dir=cfg.save_path)
     os.makedirs(cfg.save_path, exist_ok=True)
     with open(os.path.join(cfg.save_path, "configs.json"), "w") as f:
