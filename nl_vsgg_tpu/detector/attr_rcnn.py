@@ -101,15 +101,42 @@ class AttrRCNNModule(nn.Module):
 
 
 class AttrRCNNJax:
-    """Inference facade binding params to jitted pipelines."""
+    """Inference facade binding params to jitted pipelines.
+
+    `compute_dtype="bfloat16"` casts the (frozen) weights once at load and
+    feeds images in bf16 — measured 1.39x on the ResNeXt backbone, whose
+    8-channel grouped convs are memory-bound on TPU. Opt-in: features shift
+    by ~1e-2 relative and decoded boxes by a few pixels, so the default
+    stays fp32 wherever parity with the reference extraction matters
+    (outputs are always returned as fp32 either way).
+    """
 
     def __init__(self, variables: dict, module: AttrRCNNModule | None = None,
-                 max_proposals: int = 300, max_dets: int = 100):
+                 max_proposals: int = 300, max_dets: int = 100,
+                 compute_dtype: str | None = None):
         self.module = module or AttrRCNNModule()
+        if compute_dtype in ("bfloat16", jnp.bfloat16):
+            variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if getattr(x, "dtype", None) == jnp.float32 else x, variables)
+            in_dtype = jnp.bfloat16
+        else:
+            in_dtype = jnp.float32
         self.variables = variables
         self.max_proposals = max_proposals
         self.max_dets = max_dets
-        apply = self.module.apply
+        _apply = self.module.apply
+
+        def apply(variables, x, *args, method=None):
+            # cast only the image/feature-map tensor; box coordinates and the
+            # decode/NMS geometry stay fp32 (bf16 coords would cost ~4 px at
+            # x~1000). The "box" method therefore promotes back to fp32
+            # internally — the backbone (~70% of detect time) is the part
+            # that benefits.
+            if method in ("features", "rpn", "c5"):
+                x = x.astype(in_dtype)
+            out = _apply(variables, x, *args, method=method)
+            return jax.tree.map(lambda a: a.astype(jnp.float32), out)
 
         def box_feats(variables, images, boxes):
             c4 = apply(variables, images, method="features")

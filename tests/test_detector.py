@@ -164,3 +164,25 @@ class TestConverterAndPipeline:
         feats = det.extract_box_features(img, np.array([[5, 5, 60, 60]], np.float32))
         assert feats.shape == (1, 7, 7, 2048)
         assert np.isfinite(feats).all()
+
+
+class TestComputeDtype:
+    @pytest.mark.slow
+    def test_bf16_facade_tracks_fp32(self, rng):
+        """compute_dtype='bfloat16' (the opt-in fast extraction mode) must
+        produce features/boxes close to the fp32 pipeline on shared weights."""
+        det32 = AttrRCNNJax.create(max_proposals=50, max_dets=20)
+        det16 = AttrRCNNJax(det32.variables, max_proposals=50, max_dets=20,
+                            compute_dtype="bfloat16")
+        img = rng.uniform(0, 255, (96, 128, 3)).astype(np.uint8)
+        boxes = np.array([[5, 5, 60, 60], [20, 10, 110, 80]], np.float32)
+        f32 = np.asarray(det32.extract_box_features(img, boxes)).ravel()
+        f16 = np.asarray(det16.extract_box_features(img, boxes)).ravel()
+        assert np.isfinite(f16).all()
+        corr = np.corrcoef(f32, f16)[0, 1]
+        assert corr > 0.995, f"bf16 features decorrelated: corr={corr}"
+        s32, s16 = np.abs(f32).mean(), np.abs(f16).mean()
+        assert 0.9 < s16 / max(s32, 1e-9) < 1.1
+        d32, d16 = det32.detect(img), det16.detect(img)
+        assert d16["boxes"].shape == d32["boxes"].shape
+        assert np.isfinite(d16["features"]).all()

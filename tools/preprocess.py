@@ -58,11 +58,12 @@ def cmd_features(args):
     from nl_vsgg_tpu.detector.attr_rcnn import AttrRCNNJax
     from nl_vsgg_tpu.detector.convert import load_checkpoint
 
+    dt = args.dtype if args.dtype != "float32" else None
     if args.checkpoint:
-        det = AttrRCNNJax(load_checkpoint(args.checkpoint))
+        det = AttrRCNNJax(load_checkpoint(args.checkpoint), compute_dtype=dt)
     else:
         print("WARNING: no --checkpoint; random weights (pipeline test only)")
-        det = AttrRCNNJax.create()
+        det = AttrRCNNJax.create(compute_dtype=dt)
     n = 0
     for vid in sorted(os.listdir(args.frames)):
         vdir = os.path.join(args.frames, vid)
@@ -250,6 +251,11 @@ def main():
     s.add_argument("--frames", required=True)
     s.add_argument("--output", required=True)
     s.add_argument("--checkpoint", default="")
+    s.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="backbone compute dtype; bfloat16 is ~1.4x faster "
+                        "(features shift ~1e-2 rel — fp32 is the parity "
+                        "default)")
     s.set_defaults(fn=cmd_features)
 
     s = sub.add_parser("dets-cache")
