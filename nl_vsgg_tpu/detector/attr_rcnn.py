@@ -74,11 +74,12 @@ class AttrRCNNModule(nn.Module):
     """backbone + rpn head + box head as one flax module (shared params)."""
 
     groups: int = 32
+    compute_dtype: jnp.dtype | None = None  # bf16: C5 stage runs reduced
 
     def setup(self):
         self.backbone = ResNeXt152C4(self.groups)
         self.rpn_head = RPNHead()
-        self.box_head = RoIBoxHead(self.groups)
+        self.box_head = RoIBoxHead(self.groups, dtype=self.compute_dtype)
 
     def __call__(self, images: jnp.ndarray, boxes: jnp.ndarray):
         c4 = self.backbone(images)
@@ -114,14 +115,15 @@ class AttrRCNNJax:
     def __init__(self, variables: dict, module: AttrRCNNModule | None = None,
                  max_proposals: int = 300, max_dets: int = 100,
                  compute_dtype: str | None = None):
-        self.module = module or AttrRCNNModule()
         if compute_dtype in ("bfloat16", jnp.bfloat16):
             variables = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
                 if getattr(x, "dtype", None) == jnp.float32 else x, variables)
             in_dtype = jnp.bfloat16
+            self.module = module or AttrRCNNModule(compute_dtype=jnp.bfloat16)
         else:
             in_dtype = jnp.float32
+            self.module = module or AttrRCNNModule()
         self.variables = variables
         self.max_proposals = max_proposals
         self.max_dets = max_dets
@@ -130,9 +132,8 @@ class AttrRCNNJax:
         def apply(variables, x, *args, method=None):
             # cast only the image/feature-map tensor; box coordinates and the
             # decode/NMS geometry stay fp32 (bf16 coords would cost ~4 px at
-            # x~1000). The "box" method therefore promotes back to fp32
-            # internally — the backbone (~70% of detect time) is the part
-            # that benefits.
+            # x~1000). Inside "box", the RoIAlign runs fp32 and only the C5
+            # stage drops to bf16 (RoIBoxHead.dtype).
             if method in ("features", "rpn", "c5"):
                 x = x.astype(in_dtype)
             out = _apply(variables, x, *args, method=method)

@@ -41,22 +41,34 @@ class BoxPredictor(nn.Module):
 
 
 class RoIBoxHead(nn.Module):
-    """pooler + C5 + predictor. Returns (cls_logits, box_deltas, box_feats)."""
+    """pooler + C5 + predictor. Returns (cls_logits, box_deltas, box_feats).
+
+    `dtype` is the C5 compute dtype (bf16 when the facade runs in its
+    fast-extraction mode): the RoIAlign geometry and the class/box predictor
+    heads stay fp32; only the grouped-conv C5 stage — the expensive,
+    memory-bound part — runs in the reduced precision.
+    """
 
     groups: int = 32
+    dtype: jnp.dtype | None = None
 
     def setup(self):
         self.head = ResNeXtC5Head(self.groups)
         self.predictor = BoxPredictor()
 
+    def _c5(self, crops: jnp.ndarray) -> jnp.ndarray:
+        if self.dtype is not None:
+            crops = crops.astype(self.dtype)
+        return self.head(crops).astype(jnp.float32)
+
     def __call__(self, c4: jnp.ndarray, boxes: jnp.ndarray):
         crops = roi_align_mm(c4, boxes, output_size=(14, 14), spatial_scale=1.0 / 16)
-        feats77 = self.head(crops)  # (N, 7, 7, 2048)
+        feats77 = self._c5(crops)  # (N, 7, 7, 2048)
         logits, deltas = self.predictor(feats77)
         return logits, deltas, feats77
 
     def head_apply(self, crops: jnp.ndarray) -> jnp.ndarray:
-        return self.head(crops)
+        return self._c5(crops)
 
 
 @partial(jax.jit, static_argnames=("max_dets", "min_dets"))
