@@ -120,7 +120,13 @@ class AttrRCNNJax:
                 lambda x: x.astype(jnp.bfloat16)
                 if getattr(x, "dtype", None) == jnp.float32 else x, variables)
             in_dtype = jnp.bfloat16
-            self.module = module or AttrRCNNModule(compute_dtype=jnp.bfloat16)
+            if module is None:
+                module = AttrRCNNModule(compute_dtype=jnp.bfloat16)
+            elif module.compute_dtype is None:
+                # a dtype-less module (e.g. from create()) must not silently
+                # leave the C5 stage in fp32: rebuild with the same layout
+                module = AttrRCNNModule(module.groups, compute_dtype=jnp.bfloat16)
+            self.module = module
         else:
             in_dtype = jnp.float32
             self.module = module or AttrRCNNModule()
@@ -199,6 +205,7 @@ class AttrRCNNJax:
                                         spatial_scale=1.0 / 16)
             return apply(variables, crops, method="c5")
 
+        self._apply = apply  # dtype-aware module.apply (host-callable too)
         self._box_feats = jax.jit(box_feats)
         self._detect = jax.jit(detect)
         self._detect_batch = jax.jit(detect_batch)
@@ -299,13 +306,16 @@ class AttrRCNNJax:
             p, s, _ = preprocess(img, bucket_hw=hw)
             imgs.append(p)
             scales.append(s)
-        c4 = self.module.apply(self.variables, jnp.asarray(np.stack(imgs)),
-                               method="features")
+        # through the dtype-aware wrapper: a bf16 facade runs this per-video
+        # backbone precompute in bf16 too (direct module.apply would promote
+        # fp32 images against bf16 weights and lose the speedup)
+        c4 = self._apply(self.variables, jnp.asarray(np.stack(imgs)),
+                         method="features")
 
         def union_feat_fn(frame_idx: int, boxes_xyxy: np.ndarray) -> np.ndarray:
             boxes = jnp.asarray(boxes_xyxy, jnp.float32) * scales[frame_idx]
-            _, _, feats77 = self.module.apply(self.variables, c4[frame_idx],
-                                              boxes, method="box")
+            _, _, feats77 = self._apply(self.variables, c4[frame_idx],
+                                        boxes, method="box")
             return np.asarray(feats77)
 
         return union_feat_fn

@@ -5,12 +5,26 @@ annotations/person_bbox.pkl + object_bbox_and_relationship*.pkl."""
 
 from __future__ import annotations
 
+import importlib.util
 import os
 import pickle
+import sys
 
 import numpy as np
 
 from nl_vsgg_tpu.data import schema
+
+TOOLS_DIR = os.path.join(os.path.dirname(__file__), "..", "tools")
+
+
+def load_tool(name: str):
+    """Import tools/<name>.py as a module (shared by every CLI test)."""
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(TOOLS_DIR, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def build_micro_ag(root: str, n_videos: int = 3, n_frames: int = 4,

@@ -2,7 +2,6 @@
 (1 epoch, grounding + train + checkpoint + eval) -> test_STTran restore
 reproduces the epoch evaluation bit-exactly."""
 
-import importlib.util
 import os
 import sys
 
@@ -10,17 +9,7 @@ import numpy as np
 import pytest
 import yaml
 
-from tests.fixtures import build_micro_ag
-
-TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
-
-
-def _load_tool(name):
-    spec = importlib.util.spec_from_file_location(name, os.path.join(TOOLS, f"{name}.py"))
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[name] = mod
-    spec.loader.exec_module(mod)
-    return mod
+from tests.fixtures import build_micro_ag, load_tool as _load_tool
 
 
 @pytest.mark.slow

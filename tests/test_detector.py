@@ -186,3 +186,9 @@ class TestComputeDtype:
         d32, d16 = det32.detect(img), det16.detect(img)
         assert d16["boxes"].shape == d32["boxes"].shape
         assert np.isfinite(d16["features"]).all()
+        # both construction paths must arm the C5 bf16 stage (create() once
+        # dropped compute_dtype from the module it pre-builds)
+        import jax.numpy as jnp
+        det_c = AttrRCNNJax.create(compute_dtype="bfloat16")
+        assert det_c.module.compute_dtype == jnp.bfloat16
+        assert det16.module.compute_dtype == jnp.bfloat16

@@ -4,7 +4,6 @@ The VinVL feature hooks are replaced by deterministic synthetic functions;
 everything else (tracker, tracklet attention, evaluator) is the real path."""
 
 import argparse
-import importlib.util
 import os
 import sys
 
@@ -12,17 +11,9 @@ import numpy as np
 import pytest
 
 from nl_vsgg_tpu.utils.config import load_config
+from tests.fixtures import load_tool as _load_tool
 
-TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
 FEAT = 32
-
-
-def _load_tool(name):
-    spec = importlib.util.spec_from_file_location(name, os.path.join(TOOLS, f"{name}.py"))
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[name] = mod
-    spec.loader.exec_module(mod)
-    return mod
 
 
 class _Logger:

@@ -1,7 +1,6 @@
 """tools/predict.py — annotation-free scene-graph export over cached
 VinVL features (the serving path the reference lacks)."""
 
-import importlib.util
 import json
 import os
 import sys
@@ -9,17 +8,7 @@ import sys
 import numpy as np
 import pytest
 
-from tests.fixtures import build_micro_ag
-
-TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
-
-
-def _load_tool(name):
-    spec = importlib.util.spec_from_file_location(name, os.path.join(TOOLS, f"{name}.py"))
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[name] = mod
-    spec.loader.exec_module(mod)
-    return mod
+from tests.fixtures import build_micro_ag, load_tool as _load_tool
 
 
 @pytest.mark.slow

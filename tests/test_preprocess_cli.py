@@ -3,7 +3,6 @@ img-info -> tcs -> triplets -> adv -> negatives driven through the real
 argparse surface, producing reference-schema pickles end to end (LLM calls
 faked at the _openai_llm seam; CLIP embeddings synthesized)."""
 
-import importlib.util
 import os
 import pickle
 import sys
@@ -11,7 +10,7 @@ import sys
 import numpy as np
 import pytest
 
-TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
+from tests.fixtures import load_tool as _load_tool
 
 TCS_RESPONSE = ("Output:  A person opens a door. >> "
                 "The person picks up a book. >> The person reads a book.")
@@ -21,14 +20,6 @@ TRIPLET_RESPONSE = (
     "Step 2: Triplets aligned with the predefined entity/predicate lexicons "
     "are <1.person, 22.touching, 13.door>."
 )
-
-
-def _load_tool(name):
-    spec = importlib.util.spec_from_file_location(name, os.path.join(TOOLS, f"{name}.py"))
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[name] = mod
-    spec.loader.exec_module(mod)
-    return mod
 
 
 def _run(monkeypatch, mod, argv):

@@ -14,6 +14,7 @@ import argparse
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -29,6 +30,26 @@ def timed(fn, *args, reps=5):
         fn(*args)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
+
+
+def check_physical(flops_per_iter: float, dt_per_iter: float, label: str) -> float:
+    """Implied-TFLOP/s <= chip-peak tripwire (same discipline as bench.py:
+    broken synchronization shows up as impossible throughput, the failure
+    mode behind the retracted round-1 numbers). Returns implied TFLOP/s.
+    flops_per_iter == 0 (ops XLA cannot cost, e.g. Pallas calls) skips the
+    check rather than reporting the kernel unavailable."""
+    import jax
+
+    from bench import PEAK_TFLOPS
+    if not flops_per_iter:
+        return 0.0
+    kind = getattr(jax.devices()[0], "device_kind", "cpu")
+    peak = PEAK_TFLOPS.get(kind, max(PEAK_TFLOPS.values()))
+    tf = flops_per_iter / dt_per_iter / 1e12
+    assert kind == "cpu" or tf <= peak, (
+        f"{label}: implied {tf:.0f} TFLOP/s exceeds {kind} peak {peak} — "
+        f"timing is not measuring real execution")
+    return tf
 
 
 def bench_train_step(iters: int):
@@ -67,10 +88,13 @@ def bench_train_step(iters: int):
         # just st.step measured an empty loop: implied 600+ TFLOP/s)
         return sum(jnp.sum(x) for x in jax.tree.leaves(st.params)[:4])
 
+    flops = float(jax.jit(lambda s, b: step(s, b, key1))
+                  .lower(state, batch).compile().cost_analysis()["flops"])
     dt = timed(lambda s, b: float(chained(s, b)), state, batch)
     per = dt / iters
+    tf = check_physical(flops, per, "train_step")
     print(f"train_step  b{B}x{F}f fp32: {per * 1e3:8.2f} ms/step "
-          f"({B * F / per:,.0f} frames/s)")
+          f"({B * F / per:,.0f} frames/s, {tf:.0f} TFLOP/s)")
 
 
 def bench_roi_align(iters: int):
@@ -100,7 +124,12 @@ def bench_roi_align(iters: int):
             return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
         try:
+            flops = float(jax.jit(partial(op, output_size=(14, 14),
+                                          spatial_scale=1.0 / 16))
+                          .lower(fmap, rois).compile()
+                          .cost_analysis().get("flops", 0.0))
             dt = timed(lambda f, r: float(chained(f, r)), fmap, rois)
+            check_physical(flops, dt / iters, f"roi_align {name}")
             print(f"roi_align   300 rois {name:8}: {dt / iters * 1e3:8.2f} ms/call")
         except Exception as e:
             print(f"roi_align   300 rois {name:8}: unavailable ({type(e).__name__})")
@@ -137,7 +166,12 @@ def bench_device_recall(iters: int):
             return c + jnp.sum(r) * 1e-30
         return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
+    flops = float(jax.jit(lambda a: recall_video_with_constraint(
+        gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx, rel_mask,
+        a, sp, con, boxes, labels, scores, F)[0])
+        .lower(att).compile().cost_analysis()["flops"])
     dt = timed(lambda a: float(chained(a)), att)
+    check_physical(flops, dt / iters, "device R@K")
     print(f"device R@K  32f x 96rels     : {dt / iters * 1e3:8.3f} ms/video")
 
 
@@ -172,8 +206,9 @@ def bench_detector(iters: int):
     flops = float(jax.jit(lambda v, i: inner(v, i, anchors, im_hw))
                   .lower(det.variables, imgs).compile().cost_analysis()["flops"])
     dt = timed(lambda v, i: float(chained(v, i)), det.variables, imgs) / iters
+    tf = check_physical(flops, dt, "detector")
     print(f"detector    {F}f x {H}x{W}      : {dt * 1e3:8.2f} ms/video "
-          f"({F / dt:,.0f} frames/s, {flops / dt / 1e12:.0f} TFLOP/s, "
+          f"({F / dt:,.0f} frames/s, {tf:.0f} TFLOP/s, "
           f"{flops / 1e12:.2f} TFLOP/call)")
 
 

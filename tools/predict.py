@@ -162,9 +162,13 @@ def main():
 
     get_entry = lambda i: ground_video(ds, i, cfg, False, cfg.buckets,
                                        union_provider=union_provider)
+    # cache the init-sample grounding: grounding (and the union-feature C4
+    # precompute) is the expensive per-video step, don't pay it twice for
+    # the leading videos
+    entry_cache: dict[int, object] = {}
     sample = None
     for i in range(len(ds)):
-        sample = get_entry(i)
+        entry_cache[i] = sample = get_entry(i)
         if sample is not None:
             break
     if sample is None:
@@ -178,7 +182,7 @@ def main():
     n_exported = 0
     try:
         for i in range(len(ds)):
-            e = get_entry(i)
+            e = entry_cache.pop(i) if i in entry_cache else get_entry(i)
             if e is None:
                 logger.warning(f"{ds.video_ids[i]}: no relations (skipped)")
                 continue
