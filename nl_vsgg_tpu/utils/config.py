@@ -98,6 +98,9 @@ class Config:
     # needed when union_box_feature is true (ref assign_pseudo_label.py:1323)
     vinvl_ckpt: str = ""  # converted VinVL npz (tools/convert_vinvl.py) for
     # live union-feature extraction; "" + union_box_feature -> loud warning
+    vinvl_dtype: str = "float32"  # detector compute dtype for the live
+    # union-feature extractor: bfloat16 is ~1.3x faster (grouped convs are
+    # memory-bound) at ~1e-2 relative feature shift; fp32 = exact parity
     auto_download: bool = False  # fetch AG training pickles from HF like the
     # reference (dataloader/wk_action_genome.py:13-15) — opt-in, offline-safe
     glove_path: str = ""  # optional glove.6B.200d.txt; deterministic fallback

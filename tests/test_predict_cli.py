@@ -76,3 +76,49 @@ def test_predict_exports_scene_graphs(tmp_path, monkeypatch):
         for o in sg["objects"]:
             x1, y1, x2, y2 = o["box"]
             assert x1 < x2 and y1 < y2
+
+
+@pytest.mark.slow
+def test_predict_dsg_detr_flag(tmp_path, monkeypatch):
+    """--dsg_detr serves a DSG-DETR checkpoint through the same export path."""
+    import jax
+    import yaml
+
+    from nl_vsgg_tpu.data import schema
+    from nl_vsgg_tpu.train import create_train_state, make_optimizer
+    from nl_vsgg_tpu.utils.checkpoint import save_checkpoint
+    from nl_vsgg_tpu.utils.config import load_config
+
+    ag = build_micro_ag(str(tmp_path), n_videos=1, n_frames=3, feat_dim=32)
+    feat_root = os.path.join(ag, "frame_features")
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.dump({"mode": "sgdet", "feat_dim": 32,
+                   "data_path": ag, "frame_features_path": feat_root,
+                   "save_path": str(tmp_path / "out")}, f)
+    cfg = load_config(cfg_path)
+
+    train = _load_tool("train_STTran")
+    dsg = _load_tool("train_DSG_DETR")
+    tax = schema.load_taxonomy()
+    model = dsg.build_model(cfg, tax)
+    ds_like = type("DS", (), {})()
+    ds_like.video_list = [[os.path.join(v, fr) for fr in
+                           sorted(os.listdir(os.path.join(feat_root, v)))]
+                          for v in sorted(os.listdir(feat_root))]
+    ds_like.gt_annotations = [[[] for _ in fl] for fl in ds_like.video_list]
+    sample = train.ground_video(ds_like, 0, cfg, False, cfg.buckets)
+    state, _ = create_train_state(model, sample, jax.random.key(0),
+                                  tx=make_optimizer(1e-4))
+    ckpt_dir = str(tmp_path / "ckpt_dsg")
+    save_checkpoint(ckpt_dir, 0, state)
+
+    out_path = str(tmp_path / "graphs_dsg.jsonl")
+    predict = _load_tool("predict")
+    monkeypatch.setattr(sys, "argv", [
+        "predict.py", "--cfg", cfg_path, "--model_path", ckpt_dir,
+        "--features_dir", feat_root, "--out", out_path, "--topk", "10",
+        "--dsg_detr"])
+    predict.main()
+    lines = [json.loads(l) for l in open(out_path)]
+    assert len(lines) == 1 and lines[0]["triplets"]

@@ -123,7 +123,9 @@ def make_union_provider(cfg, logger):
         import cv2
         with det_lock:
             if not det_box:
-                det_box.append(AttrRCNNJax(load_checkpoint(str(cfg.vinvl_ckpt))))
+                dt = None if cfg.vinvl_dtype == "float32" else cfg.vinvl_dtype
+                det_box.append(AttrRCNNJax(load_checkpoint(str(cfg.vinvl_ckpt)),
+                                           compute_dtype=dt))
             det = det_box[0]
         imgs = []
         for f in ds.video_list[idx]:
