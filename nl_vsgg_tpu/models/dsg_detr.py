@@ -169,8 +169,8 @@ class DSGDETR(nn.Module):
             entry.features[..., entry.pair_idx[..., 1], :])
         union_proj = nn.Conv(256, (1, 1), name="union_func1",
                              dtype=self.dtype)(entry.union_feat)
-        mask_feat = SpatialMaskConv(name="spatial_conv")(entry.spatial_masks,
-                                                         entry.rel_mask, train)
+        mask_feat = SpatialMaskConv(dtype=self.dtype, name="spatial_conv")(
+            entry.spatial_masks, entry.rel_mask, train)
         vr = union_proj + mask_feat
         vr = nn.Dense(512, name="vr_fc", dtype=self.dtype)(vr.reshape(*vr.shape[:-3], -1))
         x_visual = jnp.concatenate([subj_rep, obj_rep, vr], axis=-1)

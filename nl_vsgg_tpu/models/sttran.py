@@ -76,15 +76,22 @@ class ObjectClassifierWK(nn.Module):
 
 
 class SpatialMaskConv(nn.Module):
-    """2 -> 256 conv tower over 27x27 masks (lib/sttran.py:337-345), NHWC."""
+    """2 -> 256 conv tower over 27x27 masks (lib/sttran.py:337-345), NHWC.
+
+    `dtype` is the conv compute dtype; BatchNorm statistics stay fp32
+    (MaskedBatchNorm upcasts via its fp32 running buffers)."""
+
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(128, (7, 7), strides=2, padding=((3, 3), (3, 3)), name="conv1")(x)
+        x = nn.Conv(128, (7, 7), strides=2, padding=((3, 3), (3, 3)),
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x)
         x = MaskedBatchNorm(momentum=0.01, name="bn1")(x, mask, use_running_average=not train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        x = nn.Conv(256, (3, 3), strides=1, padding=((1, 1), (1, 1)), name="conv2")(x)
+        x = nn.Conv(256, (3, 3), strides=1, padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(x)
         x = nn.relu(x)
         x = MaskedBatchNorm(momentum=0.01, name="bn2")(x, mask, use_running_average=not train)
         return x
@@ -219,8 +226,8 @@ class STTran(nn.Module):
             entry.features[..., entry.pair_idx[..., 1], :])
         union_proj = nn.Conv(256, (1, 1), name="union_func1",
                              dtype=self.dtype)(entry.union_feat)
-        mask_feat = SpatialMaskConv(name="spatial_conv")(entry.spatial_masks,
-                                                         entry.rel_mask, train)
+        mask_feat = SpatialMaskConv(dtype=self.dtype, name="spatial_conv")(
+            entry.spatial_masks, entry.rel_mask, train)
         vr = union_proj + mask_feat  # (R, 7, 7, 256)
         vr = nn.Dense(512, name="vr_fc", dtype=self.dtype)(vr.reshape(*vr.shape[:-3], -1))
         x_visual = jnp.concatenate([subj_rep, obj_rep, vr], axis=-1)
