@@ -108,6 +108,9 @@ class STTranTransformer(nn.Module):
     dec_layers: int = 3
     mode: str = "latter"  # 'latter' | 'both'
     dtype: Any = None  # compute dtype (bfloat16 on TPU); params stay fp32
+    remat: bool = False  # rematerialize encoder/decoder layers in the bwd
+    # pass (jax.checkpoint): ~layer-depth x less activation memory for the
+    # temporal stack at the cost of recomputing the fwd — same math
 
     @nn.compact
     def __call__(self, rel_features: jnp.ndarray, im_idx: jnp.ndarray,
@@ -115,16 +118,21 @@ class STTranTransformer(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         det = not train
         R = rel_features.shape[-2]
+        # self counts as argument 0 in flax lifted-transform static_argnums
+        Enc = (nn.remat(MaskedEncoderLayer, static_argnums=(3,))
+               if self.remat else MaskedEncoderLayer)
+        Dec = (nn.remat(MaskedDecoderLayer, static_argnums=(4,))
+               if self.remat else MaskedDecoderLayer)
 
         # ---- spatial encoder: attention within the same frame ----
         same_frame = im_idx[..., :, None] == im_idx[..., None, :]
         allow_s = same_frame & rel_mask[..., :, None] & rel_mask[..., None, :]
         local = rel_features
         for i in range(self.enc_layers):
-            local = MaskedEncoderLayer(self.embed_dim, self.num_heads,
-                                       self.dim_feedforward, self.dropout,
-                                       dtype=self.dtype,
-                                       name=f"enc_{i}")(local, allow_s, det)
+            local = Enc(self.embed_dim, self.num_heads,
+                        self.dim_feedforward, self.dropout,
+                        dtype=self.dtype,
+                        name=f"enc_{i}")(local, allow_s, det)
         local = jnp.where(rel_mask[..., None], local, 0.0)
 
         # ---- temporal decoder over duplicated former/latter streams ----
@@ -141,9 +149,13 @@ class STTranTransformer(nn.Module):
                         (2, self.embed_dim))
         pos = pe[slot]
         tokens = jnp.concatenate([local, local], axis=-2)        # (2R, D)
-        dec = [MaskedDecoderLayer(self.embed_dim, self.num_heads,
-                                  self.dim_feedforward, self.dropout,
-                                  dtype=self.dtype, name=f"dec_{i}")
+        # the last ('latter') layer is rectangular and called with kv=/
+        # pos_kv= keywords, which lifted remat's static_argnums indexing
+        # does not cover — it stays unremated (1 of dec_layers layers)
+        dec = [(Dec if i < self.dec_layers - 1 or self.mode == "both"
+                else MaskedDecoderLayer)(
+                    self.embed_dim, self.num_heads, self.dim_feedforward,
+                    self.dropout, dtype=self.dtype, name=f"dec_{i}")
                for i in range(self.dec_layers)]
 
         if self.mode == "both":
@@ -196,6 +208,7 @@ class STTran(nn.Module):
     feat_dim: int = 2048
     transformer_fusion: str = "latter"
     dtype: Any = None  # compute dtype; None = float32
+    remat: bool = False  # checkpoint the temporal stack (see STTranTransformer)
     glove_obj36: np.ndarray | None = None  # (36, 200) for the classifier
     glove_obj37: np.ndarray | None = None  # (37, 200) for semantic embeds
 
@@ -247,7 +260,7 @@ class STTran(nn.Module):
         global_output = STTranTransformer(
             embed_dim=rel_features.shape[-1], enc_layers=self.enc_layer_num,
             dec_layers=self.dec_layer_num, mode=self.transformer_fusion,
-            dtype=self.dtype, name="glocal_transformer",
+            dtype=self.dtype, remat=self.remat, name="glocal_transformer",
         )(rel_features, entry.im_idx, entry.rel_mask, entry.num_frames, train)
         global_output = global_output.astype(jnp.float32)  # heads in fp32
 

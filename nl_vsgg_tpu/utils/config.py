@@ -111,6 +111,9 @@ class Config:
     # train steps (from step 2) into <save_path>/trace for TensorBoard/XProf
     device_eval: bool = False  # additionally score R@K on device during the
     # epoch eval (fast path; the host evaluator stays the reported truth)
+    remat: bool = False  # rematerialize the temporal-transformer layers in
+    # backward (jax.checkpoint): trades recompute FLOPs for activation
+    # memory — enables bigger train batches/buckets per chip
     prng_impl: str = "rbg"  # PRNG for training randomness (dropout / label
     # sampling): "rbg" is ~16% faster per train step on TPU than jax's
     # default threefry2x32 (measured: 120 -> 101 ms at batch 64); both are

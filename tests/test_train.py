@@ -198,3 +198,46 @@ class TestTrainStep:
             state, m = step(state, batch, jax.random.key(0))
         assert np.isfinite(float(m["total"]))
         assert int(state.step) == 1
+
+
+def test_remat_matches_dense():
+    """cfg.remat (jax.checkpoint on the temporal stack) must not change the
+    math — same params give identical outputs and matching grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
+    from nl_vsgg_tpu.models.losses import sttran_losses
+    from nl_vsgg_tpu.models.sttran import STTran
+
+    rng = np.random.default_rng(7)
+    entry = jax.tree.map(jnp.asarray, make_synthetic_entry(
+        rng, n_frames=4, bucket_boxes=24, bucket_rels=16, feat_dim=32))
+    dense = STTran(mode="sgdet", feat_dim=32, dec_layer_num=2)
+    remat = STTran(mode="sgdet", feat_dim=32, dec_layer_num=2, remat=True)
+    variables = dense.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)}, entry, train=False)
+    # identical param tree (remat must not rename scopes)
+    assert (jax.tree_util.tree_structure(
+        remat.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                   entry, train=False))
+        == jax.tree_util.tree_structure(variables))
+
+    out_d = dense.apply(variables, entry, train=False)
+    out_r = remat.apply(variables, entry, train=False)
+    # remat regions compile with different fusion boundaries -> ULP-level
+    # drift, not semantic difference
+    np.testing.assert_allclose(np.asarray(out_r["global_output"]),
+                               np.asarray(out_d["global_output"]),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(m, params):
+        pred = m.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                       entry, train=False)
+        return sttran_losses(pred, entry, jax.random.key(2), bce=True)["total"]
+
+    g_d = jax.grad(lambda p: loss(dense, p))(variables["params"])
+    g_r = jax.grad(lambda p: loss(remat, p))(variables["params"])
+    for pd, pr in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(pr), np.asarray(pd),
+                                   rtol=1e-3, atol=1e-4)

@@ -175,6 +175,50 @@ def bench_device_recall(iters: int):
     print(f"device R@K  32f x 96rels     : {dt / iters * 1e3:8.3f} ms/video")
 
 
+def bench_dsg_detr(iters: int):
+    """DSG-DETR sgdet inference at the headline shapes (the second model
+    family; bench.py's headline covers STTran)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
+    from nl_vsgg_tpu.models.dsg_detr import DSGDETR
+    from nl_vsgg_tpu.train import stack_entries
+
+    B, F, FEAT = 64, 32, 2048
+    rng = np.random.default_rng(0)
+    entries = [make_synthetic_entry(rng, n_frames=F, objs_per_frame=3,
+                                    bucket_boxes=128, bucket_rels=96,
+                                    feat_dim=FEAT) for _ in range(B)]
+    batch = jax.tree.map(jnp.asarray, stack_entries(entries))
+    model = DSGDETR(mode="sgdet", feat_dim=FEAT, dtype=jnp.bfloat16)
+    one = jax.tree.map(lambda x: x[0], batch)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)}, one, train=False)
+
+    def fwd(v, b):
+        return jax.vmap(lambda e: model.apply(v, e, train=False))(b)
+
+    @jax.jit
+    def chained(v, b):
+        def body(i, c):
+            bb = b.replace(features=b.features + c * 1e-30)
+            out = fwd(v, bb)
+            s = (jnp.sum(out["attention_distribution"]) +
+                 jnp.sum(out["spatial_logits"]) + jnp.sum(out["contacting_logits"]))
+            return c + s * 1e-30
+        return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    flops = float(jax.jit(fwd).lower(variables, batch).compile()
+                  .cost_analysis()["flops"])
+    dt = timed(lambda v, b: float(chained(v, b)), variables, batch) / iters
+    tf = check_physical(flops, dt, "dsg_detr")
+    print(f"dsg_detr    b{B}x{F}f bf16: {dt * 1e3:8.2f} ms/call "
+          f"({B * F / dt:,.0f} frames/s, {tf:.0f} TFLOP/s, "
+          f"{flops / 1e12:.2f} TFLOP/call)")
+
+
 def bench_detector(iters: int):
     """VinVL-JAX detect_batch (backbone + RPN + box head + NMS) on an 8-frame
     video bucket at the 600/1000 input scale — the offline feature-extraction
@@ -223,6 +267,7 @@ def main():
     bench_roi_align(args.iters)
     bench_device_recall(args.iters)
     bench_train_step(args.iters)
+    bench_dsg_detr(args.iters)
     if args.detector:
         bench_detector(args.iters)
 
