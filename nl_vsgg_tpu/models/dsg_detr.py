@@ -125,6 +125,7 @@ class DSGDETR(nn.Module):
     enc_layer_num: int = 1   # spatial (local) encoder layers (:506)
     dec_layer_num: int = 3   # temporal (global) encoder layers (:503)
     dtype: Any = None        # compute dtype; params stay fp32
+    remat: bool = False      # jax.checkpoint every encoder layer (cfg.remat)
     glove_obj36: np.ndarray | None = None  # (36, 200) classifier soft-embed
     glove_obj37: np.ndarray | None = None  # (37, 200) semantic tables
 
@@ -193,10 +194,13 @@ class DSGDETR(nn.Module):
         frame_of = entry.box_frame[..., entry.pair_idx[..., 1]]
         allow_s = (frame_of[..., :, None] == frame_of[..., None, :]) \
             & rmask[..., :, None] & rmask[..., None, :]
+        # self counts as argument 0 in flax lifted-transform static_argnums
+        Enc = (nn.remat(TorchEncoderLayer, static_argnums=(3,))
+               if self.remat else TorchEncoderLayer)
         h = rel_features
         for i in range(self.enc_layer_num):
-            h = TorchEncoderLayer(d_model, 8, 2048, dtype=self.dtype,
-                                  name=f"local_{i}")(h, allow_s, det)
+            h = Enc(d_model, 8, 2048, dtype=self.dtype,
+                    name=f"local_{i}")(h, allow_s, det)
         h = jnp.where(rmask[..., None], h, 0.0)
 
         # ---- temporal: same-object-class tracklets (:545-564) ----
@@ -206,8 +210,8 @@ class DSGDETR(nn.Module):
         ranks = tracklet_rank(obj_cls, sub_row, rmask)
         g = SinusoidalPE(d_model, max_len=400, name="positional_encoder")(h, ranks, det)
         for i in range(self.dec_layer_num):
-            g = TorchEncoderLayer(d_model, 8, 2048, dtype=self.dtype,
-                                  name=f"global_{i}")(g, allow_t, det)
+            g = Enc(d_model, 8, 2048, dtype=self.dtype,
+                    name=f"global_{i}")(g, allow_t, det)
         global_output = jnp.where(rmask[..., None], g, 0.0).astype(jnp.float32)
 
         out["global_output"] = global_output
