@@ -23,6 +23,11 @@ Input layout: features_dir/{video}/{frame}/dets.npy + feat.npy — the cache
 written by `tools/preprocess.py features` (reference
 NL-VSGG/data_preprocess/extract_bbox_features_ag.py:108-120).
 
+Throughput: grounding runs on worker threads and videos batch per shape
+bucket through one jitted eval step (--batch, default 16) — the JSONL line
+order therefore follows batch completion, not input order; each line is
+self-identifying via its "video" field.
+
 Output: JSONL, one object per video:
     {"video", "num_frames", "objects": [{"frame", "box", "label", "score"}],
      "triplets": [{"frame", "subject", "object", "predicate", "score"}]}
@@ -143,6 +148,11 @@ def main():
                    help="triplets kept per video (nogc ranking)")
     p.add_argument("--dsg_detr", action="store_true",
                    help="serve a DSG-DETR checkpoint instead of STTran")
+    p.add_argument("--batch", type=int, default=16,
+                   help="videos per device call (per shape bucket); the "
+                        "model is batch-bound, not latency-bound, on TPU")
+    p.add_argument("--workers", type=int, default=0,
+                   help="grounding worker threads (0 = cfg.num_workers)")
     args = p.parse_args()
 
     import dataclasses
@@ -178,20 +188,45 @@ def main():
     state = restore_checkpoint(args.model_path, state)
     eval_step = jax.jit(make_eval_step(model))
 
+    # throughput shape: grounding on worker threads overlaps device compute,
+    # videos batch per shape bucket (same pattern as the streaming epoch
+    # eval) — at most one pending batch per bucket, bounded host memory
+    from collections import defaultdict
+
+    from nl_vsgg_tpu.data.pipeline import GroundingPrefetcher
+
     sink = sys.stdout if args.out == "-" else open(args.out, "w")
     n_exported = 0
+    pending: dict = defaultdict(list)
+
+    def flush(key):
+        nonlocal n_exported
+        items = pending.pop(key)
+        batch = stack_entries([jax.tree.map(jnp.asarray, e) for _, e in items])
+        pred = jax.device_get(eval_step(state, batch))
+        for bi, (i, e) in enumerate(items):
+            sg = scene_graph_json(ds.video_ids[i], e,
+                                  {k: v[bi] for k, v in pred.items()},
+                                  tax, args.topk)
+            sink.write(json.dumps(sg) + "\n")
+            n_exported += 1
+
+    def entry_for(i):
+        return entry_cache.pop(i) if i in entry_cache else get_entry(i)
+
+    prefetcher = GroundingPrefetcher(entry_for, list(range(len(ds))),
+                                     num_workers=args.workers or cfg.num_workers)
     try:
-        for i in range(len(ds)):
-            e = entry_cache.pop(i) if i in entry_cache else get_entry(i)
+        for i, e in prefetcher:
             if e is None:
                 logger.warning(f"{ds.video_ids[i]}: no relations (skipped)")
                 continue
-            batch = stack_entries([jax.tree.map(jnp.asarray, e)])
-            pred = eval_step(state, batch)
-            pred = {k: np.asarray(v[0]) for k, v in pred.items()}
-            sg = scene_graph_json(ds.video_ids[i], e, pred, tax, args.topk)
-            sink.write(json.dumps(sg) + "\n")
-            n_exported += 1
+            key = (e.n_boxes, e.n_rels)
+            pending[key].append((i, e))
+            if len(pending[key]) == args.batch:
+                flush(key)
+        for key in list(pending):
+            flush(key)
     finally:
         if sink is not sys.stdout:
             sink.close()
