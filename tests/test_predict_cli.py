@@ -122,3 +122,54 @@ def test_predict_dsg_detr_flag(tmp_path, monkeypatch):
     predict.main()
     lines = [json.loads(l) for l in open(out_path)]
     assert len(lines) == 1 and lines[0]["triplets"]
+
+
+@pytest.mark.slow
+def test_predict_skips_corrupt_video(tmp_path, monkeypatch):
+    """A corrupt feature directory must not abort the batch export."""
+    import shutil
+
+    import jax
+    import yaml
+
+    from nl_vsgg_tpu.data import schema
+    from nl_vsgg_tpu.train import create_train_state, make_optimizer
+    from nl_vsgg_tpu.utils.checkpoint import save_checkpoint
+    from nl_vsgg_tpu.utils.config import load_config
+
+    ag = build_micro_ag(str(tmp_path), n_videos=3, n_frames=3, feat_dim=32)
+    feat_root = os.path.join(ag, "frame_features")
+    vids = sorted(os.listdir(feat_root))
+    # corrupt the middle video: remove every feature file
+    for frame in os.listdir(os.path.join(feat_root, vids[1])):
+        shutil.rmtree(os.path.join(feat_root, vids[1], frame))
+        os.makedirs(os.path.join(feat_root, vids[1], frame))
+
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.dump({"mode": "sgdet", "feat_dim": 32, "data_path": ag,
+                   "frame_features_path": feat_root,
+                   "save_path": str(tmp_path / "out")}, f)
+    cfg = load_config(cfg_path)
+
+    train = _load_tool("train_STTran")
+    tax = schema.load_taxonomy()
+    model = train.build_model(cfg, tax)
+    ds_like = type("DS", (), {})()
+    ds_like.video_list = [[os.path.join(vids[0], fr) for fr in
+                           sorted(os.listdir(os.path.join(feat_root, vids[0])))]]
+    ds_like.gt_annotations = [[[] for _ in ds_like.video_list[0]]]
+    sample = train.ground_video(ds_like, 0, cfg, False, cfg.buckets)
+    state, _ = create_train_state(model, sample, jax.random.key(0),
+                                  tx=make_optimizer(1e-4))
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, 0, state)
+
+    out_path = str(tmp_path / "graphs.jsonl")
+    predict = _load_tool("predict")
+    monkeypatch.setattr(sys, "argv", [
+        "predict.py", "--cfg", cfg_path, "--model_path", ckpt_dir,
+        "--features_dir", feat_root, "--out", out_path])
+    predict.main()
+    lines = [json.loads(l) for l in open(out_path)]
+    assert sorted(sg["video"] for sg in lines) == [vids[0], vids[2]]

@@ -170,8 +170,17 @@ def main():
         model = build_model(cfg, tax)
     union_provider = make_union_provider(cfg, logger)
 
-    get_entry = lambda i: ground_video(ds, i, cfg, False, cfg.buckets,
-                                       union_provider=union_provider)
+    def get_entry(i):
+        """Serving is per-video fault-isolated: a corrupt feature directory
+        skips that video with a warning instead of aborting the batch job
+        (the training loop keeps its fail-loud prefetcher semantics)."""
+        try:
+            return ground_video(ds, i, cfg, False, cfg.buckets,
+                                union_provider=union_provider)
+        except Exception as e:
+            logger.warning(f"{ds.video_ids[i]}: grounding failed ({e!r}) — skipped")
+            return None
+
     # cache the init-sample grounding: grounding (and the union-feature C4
     # precompute) is the expensive per-video step, don't pay it twice for
     # the leading videos
