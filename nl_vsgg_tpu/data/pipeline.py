@@ -85,17 +85,31 @@ class GroundingPrefetcher:
             raise self._errors[0]
 
 
+def bucket_events(pairs: Iterator[tuple[int, Entry | None]], batch_size: int
+                  ) -> Iterator[tuple[str, int | list[tuple[int, Entry]]]]:
+    """Shared bucket-batching event stream for (index, Entry|None) iterators
+    (one definition for the train-epoch eval, the serving CLI, and
+    bucket_batches): yields ("skip", index) for None entries and
+    ("batch", [(index, entry), ...]) whenever a same-shape bucket reaches
+    `batch_size`, flushing leftovers at the end — at most one pending batch
+    per bucket, so host memory stays bounded."""
+    pending: dict[tuple[int, int], list[tuple[int, Entry]]] = defaultdict(list)
+    for i, e in pairs:
+        if e is None:
+            yield ("skip", i)
+            continue
+        key = (e.n_boxes, e.n_rels)
+        pending[key].append((i, e))
+        if len(pending[key]) == batch_size:
+            yield ("batch", pending.pop(key))
+    for key in list(pending):
+        yield ("batch", pending.pop(key))
+
+
 def bucket_batches(entries: Iterator[tuple[int, Entry | None]],
                    batch_size: int) -> Iterator[list[Entry]]:
     """Group same-bucket Entries into batches of `batch_size`; flush leftovers
     at the end (smaller final batches re-use the batch=1..N compiled steps)."""
-    pending: dict[tuple[int, int], list[Entry]] = defaultdict(list)
-    for _, e in entries:
-        if e is None:
-            continue
-        key = (e.n_boxes, e.n_rels)
-        pending[key].append(e)
-        if len(pending[key]) == batch_size:
-            yield pending.pop(key)
-    for key in list(pending):
-        yield pending.pop(key)
+    for kind, payload in bucket_events(entries, batch_size):
+        if kind == "batch":
+            yield [e for _, e in payload]

@@ -204,18 +204,28 @@ class MaskedBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            m = mask.astype(x.dtype)
+            # statistics in fp32 regardless of the compute dtype (like flax's
+            # BatchNorm): summing ~1e4 bf16 elements loses ~1e-2 per channel
+            # and would pollute the fp32 running buffers
+            xf = x.astype(jnp.float32)
+            m = mask.astype(jnp.float32)
             while m.ndim < x.ndim:
                 m = m[..., None]
-            count = jnp.maximum(m.sum(), 1.0)
+            # count VALID POSITIONS, not valid rows: for (N, H, W, C) inputs
+            # torch BatchNorm2d normalizes over N*H*W per channel, so the
+            # denominator must include the spatial dims the row mask
+            # broadcasts over
+            count = jnp.maximum(
+                jnp.broadcast_to(m, xf.shape[:-1] + (1,)).sum(), 1.0)
             red = tuple(range(x.ndim - 1))
-            mean = (x * m).sum(axis=red) / count
-            var = (((x - mean) ** 2) * m).sum(axis=red) / count  # biased, like torch
+            mean = (xf * m).sum(axis=red) / count
+            var = (((xf - mean) ** 2) * m).sum(axis=red) / count  # biased, like torch
             if not self.is_initializing():
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
-        return scale * (x - mean) * (1.0 / jnp.sqrt(var + self.epsilon)) + bias
+        return scale * (x.astype(jnp.float32) - mean) \
+            * (1.0 / jnp.sqrt(var + self.epsilon)) + bias
 
 
 def sinusoidal_position_table(max_len: int, d_model: int) -> jnp.ndarray:

@@ -120,6 +120,17 @@ class Config:
     # counter-based and reproducible, the streams just differ. Set
     # "threefry2x32" to reproduce runs recorded before this knob existed.
 
+    def __post_init__(self):
+        # live keys fail fast on typos ('bf16', 'fp32', ...) instead of
+        # silently running the other path
+        for name in ("dtype", "vinvl_dtype"):
+            v = getattr(self, name)
+            if v not in ("float32", "bfloat16"):
+                raise ValueError(f"{name}={v!r}: expected 'float32' or 'bfloat16'")
+        if self.prng_impl not in ("rbg", "unsafe_rbg", "threefry2x32"):
+            raise ValueError(f"prng_impl={self.prng_impl!r}: expected 'rbg', "
+                             f"'unsafe_rbg' or 'threefry2x32'")
+
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)
 

@@ -205,8 +205,10 @@ def bench_dsg_detr(iters: int):
         def body(i, c):
             bb = b.replace(features=b.features + c * 1e-30)
             out = fwd(v, bb)
+            # every head feeds the scalar, or XLA DCEs the object classifier
             s = (jnp.sum(out["attention_distribution"]) +
-                 jnp.sum(out["spatial_logits"]) + jnp.sum(out["contacting_logits"]))
+                 jnp.sum(out["spatial_logits"]) + jnp.sum(out["contacting_logits"]) +
+                 jnp.sum(out["distribution"]))
             return c + s * 1e-30
         return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 

@@ -105,7 +105,11 @@ def scene_graph_json(video_id: str, entry, pred: dict, tax, topk: int) -> dict:
         "score": round(float(scores[i]), 4),
     } for i in range(n_boxes)]
 
-    att = np.asarray(jax.nn.softmax(pred["attention_distribution"], axis=-1))
+    # host numpy softmax: jax.nn.softmax here would round-trip through the
+    # (tunneled) device per video, dwarfing the batched model call
+    a = np.asarray(pred["attention_distribution"], np.float64)
+    a = np.exp(a - a.max(axis=-1, keepdims=True))
+    att = a / a.sum(axis=-1, keepdims=True)
     sp = np.asarray(pred["spatial_distribution"])
     con = np.asarray(pred["contacting_distribution"])
 
@@ -198,21 +202,28 @@ def main():
     eval_step = jax.jit(make_eval_step(model))
 
     # throughput shape: grounding on worker threads overlaps device compute,
-    # videos batch per shape bucket (same pattern as the streaming epoch
-    # eval) — at most one pending batch per bucket, bounded host memory
-    from collections import defaultdict
-
-    from nl_vsgg_tpu.data.pipeline import GroundingPrefetcher
+    # videos batch per shape bucket (shared bucket_events stream, same as
+    # the streaming epoch eval) — bounded host memory
+    from nl_vsgg_tpu.data.pipeline import GroundingPrefetcher, bucket_events
 
     sink = sys.stdout if args.out == "-" else open(args.out, "w")
     n_exported = 0
-    pending: dict = defaultdict(list)
 
-    def flush(key):
+    NEEDED = ("attention_distribution", "spatial_distribution",
+              "contacting_distribution")
+
+    def flush(items):
         nonlocal n_exported
-        items = pending.pop(key)
-        batch = stack_entries([jax.tree.map(jnp.asarray, e) for _, e in items])
-        pred = jax.device_get(eval_step(state, batch))
+        entries = [jax.tree.map(jnp.asarray, e) for _, e in items]
+        # pad leftover batches to the compiled batch size by repeating the
+        # first entry (rows discarded below): a fresh eval_step executable
+        # per (bucket, leftover-size) would dominate a small export job
+        entries += [entries[0]] * (args.batch - len(entries))
+        batch = stack_entries(entries)
+        pred = eval_step(state, batch)
+        # fetch only the heads the JSON needs: global_output alone is ~12 MB
+        # per 16-video batch, ~97% of the download on a tunneled chip
+        pred = jax.device_get({k: pred[k] for k in NEEDED})
         for bi, (i, e) in enumerate(items):
             sg = scene_graph_json(ds.video_ids[i], e,
                                   {k: v[bi] for k, v in pred.items()},
@@ -226,16 +237,11 @@ def main():
     prefetcher = GroundingPrefetcher(entry_for, list(range(len(ds))),
                                      num_workers=args.workers or cfg.num_workers)
     try:
-        for i, e in prefetcher:
-            if e is None:
-                logger.warning(f"{ds.video_ids[i]}: no relations (skipped)")
-                continue
-            key = (e.n_boxes, e.n_rels)
-            pending[key].append((i, e))
-            if len(pending[key]) == args.batch:
-                flush(key)
-        for key in list(pending):
-            flush(key)
+        for kind, payload in bucket_events(iter(prefetcher), args.batch):
+            if kind == "skip":
+                logger.warning(f"{ds.video_ids[payload]}: no relations (skipped)")
+            else:
+                flush(payload)
     finally:
         if sink is not sys.stdout:
             sink.close()

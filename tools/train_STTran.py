@@ -26,7 +26,6 @@ import os
 import sys
 import threading
 import time
-from collections import defaultdict
 
 import numpy as np
 
@@ -174,10 +173,12 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
         evaluator = SceneGraphEvaluator(mode=cfg.mode, taxonomy=tax)
     prefetcher = GroundingPrefetcher(get_entry, list(range(n_test)),
                                      num_workers=cfg.num_workers)
-    pending: dict = defaultdict(list)
-
-    def flush(key):
-        items = pending.pop(key)
+    from nl_vsgg_tpu.data import bucket_events
+    for kind, payload in bucket_events(iter(prefetcher), cfg.batch_videos):
+        if kind == "skip":
+            evaluator.evaluate_scene_graph(ds_test.gt_annotations[payload], {})
+            continue
+        items = payload
         batch = stack_entries([jax.tree.map(jnp.asarray, e) for _, e in items])
         pred = jax.device_get(eval_step(state, batch))
         for bi, (i, e) in enumerate(items):
@@ -187,17 +188,6 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
                 from nl_vsgg_tpu.eval.recall_jax import device_eval_video
                 device_recalls.append(device_eval_video(
                     e, p, ds_test.gt_annotations[i], evaluator, f_bucket=32))
-
-    for i, e in prefetcher:
-        if e is None:
-            evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], {})
-            continue
-        key = (e.n_boxes, e.n_rels)
-        pending[key].append((i, e))
-        if len(pending[key]) == cfg.batch_videos:
-            flush(key)
-    for key in list(pending):
-        flush(key)
     return evaluator
 
 
