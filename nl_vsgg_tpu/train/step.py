@@ -37,6 +37,25 @@ def stack_entries(entries: list[Entry]) -> Entry:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *entries)
 
 
+def place_entries(entries: list[Entry], zero_union: bool = False) -> Entry:
+    """Device-ready batch from host Entries.
+
+    `zero_union=True` (no union-feature provider -> Entry.union_feat is
+    all-zeros on the host) materializes the zeros ON DEVICE instead of
+    uploading them: union_feat is ~95% of an Entry's bytes (38 MB/video at
+    the production 96x7x7x2048 shape), so skipping the transfer is a 4x+
+    end-to-end win on transfer-bound links. Identical math either way.
+    """
+    import dataclasses
+
+    import numpy as np
+    if zero_union:
+        entries = [dataclasses.replace(
+            e, union_feat=jnp.zeros(np.shape(e.union_feat), jnp.float32))
+            for e in entries]
+    return stack_entries([jax.tree.map(jnp.asarray, e) for e in entries])
+
+
 def make_train_step(model, tx, bce: bool = True) -> Callable:
     """Returns train_step(state, batch: Entry[B, ...], rng) -> (state, metrics)."""
 

@@ -22,7 +22,7 @@ from nl_vsgg_tpu.data import schema
 from nl_vsgg_tpu.data.action_genome import AGTest
 from nl_vsgg_tpu.data.grounding import entry_to_eval_pred
 from nl_vsgg_tpu.eval import SceneGraphEvaluator
-from nl_vsgg_tpu.train import create_train_state, make_eval_step, make_optimizer, stack_entries
+from nl_vsgg_tpu.train import create_train_state, make_eval_step, make_optimizer, place_entries, stack_entries
 from nl_vsgg_tpu.utils.checkpoint import restore_checkpoint
 from nl_vsgg_tpu.utils.config import load_config
 from nl_vsgg_tpu.utils.logging import setup_logger
@@ -84,6 +84,7 @@ def main():
     logger.info(f"test videos: {len(ds_test)}")
 
     model = build_model(cfg, tax)
+    zero_union = False
     if cfg.mode in ("predcls", "sgcls"):
         builder = make_gt_entry_builder(cfg)
         get_entry = lambda i: builder(ds_test, i, cfg.buckets)
@@ -92,6 +93,7 @@ def main():
         # union features against a checkpoint trained on real ones silently
         # corrupts R@K (train/eval feature skew)
         union_provider = make_union_provider(cfg, logger)
+        zero_union = union_provider is None
         get_entry = lambda i: ground_video(ds_test, i, cfg, False, cfg.buckets,
                                            union_provider=union_provider)
     sample = None
@@ -113,7 +115,7 @@ def main():
         if e is None:
             evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], {})
             continue
-        batch = stack_entries([jax.tree.map(jnp.asarray, e)])
+        batch = place_entries([e], zero_union=zero_union)
         pred = eval_step(state, batch)
         pd = entry_to_eval_pred(e, {k: np.asarray(v[0]) for k, v in pred.items()})
         evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], pd)

@@ -45,7 +45,7 @@ from nl_vsgg_tpu.eval import SceneGraphEvaluator
 from nl_vsgg_tpu.models.sttran import STTran
 from nl_vsgg_tpu.train import (PlateauScheduler, create_train_state,
                                make_eval_step, make_optimizer, make_train_step,
-                               stack_entries)
+                               place_entries, stack_entries)
 from nl_vsgg_tpu.train.state import set_learning_rate
 from nl_vsgg_tpu.utils.checkpoint import save_checkpoint
 from nl_vsgg_tpu.utils.config import load_config
@@ -159,7 +159,7 @@ def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
 
 
 def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
-                   evaluator=None, device_recalls=None):
+                   evaluator=None, device_recalls=None, zero_union=False):
     """Streaming evaluation over the test split (train_STTran.py:210-232).
 
     Entries are grounded by the prefetcher, grouped into at most ONE pending
@@ -179,7 +179,7 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
             evaluator.evaluate_scene_graph(ds_test.gt_annotations[payload], {})
             continue
         items = payload
-        batch = stack_entries([jax.tree.map(jnp.asarray, e) for _, e in items])
+        batch = place_entries([e for _, e in items], zero_union=zero_union)
         pred = jax.device_get(eval_step(state, batch))
         for bi, (i, e) in enumerate(items):
             p = entry_to_eval_pred(e, {k: v[bi] for k, v in pred.items()})
@@ -320,7 +320,10 @@ def run_training(cfg, args, build_model_fn):
         for bucket_entries in bucket_batches(iter(prefetcher), cfg.batch_videos):
             n_seen += len(bucket_entries)
             with timer("batch_build"):
-                batch = stack_entries([jax.tree.map(jnp.asarray, e) for e in bucket_entries])
+                # with no union provider, union_feat is all-zeros: build it
+                # on device instead of uploading ~38 MB/video of zeros
+                batch = place_entries(bucket_entries,
+                                      zero_union=union_provider is None)
                 batch = place_batch(batch)
             if cfg.profile_steps and epoch == start_epoch and global_step == 2:
                 try:  # on-demand XProf trace (SURVEY.md §5: reference has none)
@@ -362,7 +365,8 @@ def run_training(cfg, args, build_model_fn):
         evaluator = evaluate_epoch(cfg, tax, ds_test, n_test,
                                    lambda i: ground(ds_test, i, False),
                                    eval_step, state,
-                                   device_recalls=device_recalls)
+                                   device_recalls=device_recalls,
+                                   zero_union=union_provider is None)
         if device_recalls:
             for name in ("recall", "recall_nogc", "semi"):
                 r = np.concatenate([d[name] for d in device_recalls])
