@@ -241,3 +241,24 @@ def test_remat_matches_dense():
     for pd, pr in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(np.asarray(pr), np.asarray(pd),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_place_entries_zero_union_is_equivalent():
+    """Device-side zero union features must be indistinguishable from
+    uploading the host zeros (and must refuse nothing else)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
+    from nl_vsgg_tpu.train import place_entries, stack_entries
+
+    rng = np.random.default_rng(11)
+    entries = [make_synthetic_entry(rng, n_frames=3, bucket_boxes=16,
+                                    bucket_rels=8, feat_dim=16)
+               for _ in range(2)]
+    for e in entries:
+        e.union_feat[:] = 0.0
+    ref = stack_entries([jax.tree.map(jnp.asarray, e) for e in entries])
+    got = place_entries(entries, zero_union=True)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
