@@ -37,23 +37,42 @@ def stack_entries(entries: list[Entry]) -> Entry:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *entries)
 
 
-def place_entries(entries: list[Entry], zero_union: bool = False) -> Entry:
-    """Device-ready batch from host Entries.
+def place_entries(entries: list[Entry], zero_union: bool = False,
+                  cast_bf16: bool = False) -> Entry:
+    """Device-ready batch from host Entries, transfer-count- and byte-aware.
 
-    `zero_union=True` (no union-feature provider -> Entry.union_feat is
-    all-zeros on the host) materializes the zeros ON DEVICE instead of
-    uploading them: union_feat is ~95% of an Entry's bytes (38 MB/video at
-    the production 96x7x7x2048 shape), so skipping the transfer is a 4x+
-    end-to-end win on transfer-bound links. Identical math either way.
+    Two properties matter on latency-bound links (a tunneled chip pays
+    ~30-45 ms PER transfer):
+
+      * leaves are stacked on the HOST and uploaded as ONE transfer each
+        (~17 transfers per batch) instead of per-video device_puts
+        (~17 x batch transfers);
+      * `zero_union=True` (no union-feature provider -> union_feat is
+        all-zeros) materializes the zeros ON DEVICE: union_feat is ~95% of
+        an Entry's bytes (38 MB/video at the production 96x7x7x2048 shape).
+
+    `cast_bf16` additionally uploads the three large float arrays
+    (features / union_feat / spatial_masks) at bf16 width — for serving
+    with a bf16-compute model, which casts them anyway. Training keeps
+    fp32 uploads. The math is identical either way (zeros are zeros;
+    bf16 is the model's own compute dtype).
     """
-    import dataclasses
-
     import numpy as np
+    big = jnp.bfloat16 if cast_bf16 else jnp.float32
+    uf_shape = (len(entries),) + tuple(np.shape(entries[0].union_feat))
     if zero_union:
-        entries = [dataclasses.replace(
-            e, union_feat=jnp.zeros(np.shape(e.union_feat), jnp.float32))
-            for e in entries]
-    return stack_entries([jax.tree.map(jnp.asarray, e) for e in entries])
+        placeholder = np.zeros((1,), np.float32)
+        entries = [e.replace(union_feat=placeholder) for e in entries]
+    host = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                        *entries)
+    if zero_union:
+        host = host.replace(union_feat=jnp.zeros(uf_shape, big))
+    elif cast_bf16:
+        host = host.replace(union_feat=jnp.asarray(host.union_feat, big))
+    if cast_bf16:
+        host = host.replace(features=jnp.asarray(host.features, big),
+                            spatial_masks=jnp.asarray(host.spatial_masks, big))
+    return jax.tree.map(jnp.asarray, host)
 
 
 def make_train_step(model, tx, bce: bool = True) -> Callable:

@@ -52,7 +52,7 @@ import jax
 import jax.numpy as jnp
 
 from nl_vsgg_tpu.data import schema
-from nl_vsgg_tpu.train import create_train_state, make_eval_step, make_optimizer, stack_entries
+from nl_vsgg_tpu.train import create_train_state, make_eval_step, make_optimizer, place_entries, stack_entries
 from nl_vsgg_tpu.utils.checkpoint import restore_checkpoint
 from nl_vsgg_tpu.utils.config import load_config
 from nl_vsgg_tpu.utils.logging import setup_logger
@@ -212,34 +212,21 @@ def main():
     NEEDED = ("attention_distribution", "spatial_distribution",
               "contacting_distribution")
 
-    # Entry.union_feat is ~95% of the host->device bytes (38 MB/video at the
-    # production shapes). With no union provider it is all zeros — create it
-    # ON DEVICE instead of uploading; with bf16 compute, upload the large
-    # float arrays at half width (the model casts them anyway).
-    import dataclasses as _dc
+    # transfer-aware batching (train.place_entries): host-stacked leaves
+    # upload once each, the all-zero union_feat (95% of Entry bytes when no
+    # union provider is configured) is created on device, and bf16 compute
+    # uploads the large float arrays at half width
     no_union = union_provider is None
     cast16 = cfg.dtype == "bfloat16"
-    big = jnp.bfloat16 if cast16 else jnp.float32
-
-    def device_entry(e):
-        kw = {}
-        if no_union:
-            kw["union_feat"] = jnp.zeros(np.shape(e.union_feat), big)
-        elif cast16:
-            kw["union_feat"] = jnp.asarray(np.asarray(e.union_feat), big)
-        if cast16:
-            kw["features"] = jnp.asarray(np.asarray(e.features), big)
-            kw["spatial_masks"] = jnp.asarray(np.asarray(e.spatial_masks), big)
-        return jax.tree.map(jnp.asarray, _dc.replace(e, **kw))
 
     def flush(items):
         nonlocal n_exported
-        entries = [device_entry(e) for _, e in items]
+        entries = [e for _, e in items]
         # pad leftover batches to the compiled batch size by repeating the
         # first entry (rows discarded below): a fresh eval_step executable
         # per (bucket, leftover-size) would dominate a small export job
         entries += [entries[0]] * (args.batch - len(entries))
-        batch = stack_entries(entries)
+        batch = place_entries(entries, zero_union=no_union, cast_bf16=cast16)
         pred = eval_step(state, batch)
         # fetch only the heads the JSON needs: global_output alone is ~12 MB
         # per 16-video batch, ~97% of the download on a tunneled chip
