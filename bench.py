@@ -88,11 +88,15 @@ def bench_ours(batch_videos: int = 64, dtype: str = "bfloat16") -> dict:
 
     def one_pass(v, b, carry):
         # carry*1e-30 is numerically invisible but makes iteration i depend
-        # on iteration i-1, forcing serial real execution inside the loop
+        # on iteration i-1, forcing serial real execution inside the loop.
+        # The fetched scalar must depend on EVERY head (incl. the object
+        # classifier's `distribution`) or XLA dead-code-eliminates compute
+        # that the HLO flop count still includes.
         b = b.replace(features=b.features + carry * 1e-30)
         out = fwd(v, b)
         s = (jnp.sum(out["attention_distribution"]) +
-             jnp.sum(out["spatial_logits"]) + jnp.sum(out["contacting_logits"]))
+             jnp.sum(out["spatial_logits"]) + jnp.sum(out["contacting_logits"]) +
+             jnp.sum(out["distribution"]))
         return carry + s * 1e-30
 
     @jax.jit
