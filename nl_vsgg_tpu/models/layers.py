@@ -21,6 +21,7 @@ Numerics match torch:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable
 
 import flax.linen as nn
@@ -53,7 +54,8 @@ class MaskedMHA(nn.Module):
 
     @nn.compact
     def __call__(self, q_in: jnp.ndarray, k_in: jnp.ndarray, v_in: jnp.ndarray,
-                 allow: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+                 allow: jnp.ndarray, deterministic: bool = True,
+                 dup2_pos: jnp.ndarray | None = None) -> jnp.ndarray:
         E, H = self.embed_dim, self.num_heads
         D = E // H
         wq, bq = _DenseParams(E, name="q_proj")(q_in.shape[-1])
@@ -73,7 +75,24 @@ class MaskedMHA(nn.Module):
         # streams from HBM once instead of 2-3 times, and the MXU sees a
         # larger N. Object identity (is) detects sharing at trace time; the
         # per-output-element math is unchanged.
-        if q_in is k_in and k_in is v_in:
+        if dup2_pos is not None:
+            # Duplicated-stream fast path: q_in/k_in/v_in are the SAME
+            # undup (..., R, E) token array x, and the logical inputs are
+            #   q = k = [x + P[0]; x + P[1]],  v = [x; x]
+            # with P = dup2_pos the (2, E) position pair. Projection is
+            # affine, so (x+P[s])W + b == (xW + b) + P[s]W: compute the
+            # x-projection ONCE (R rows instead of 2R) and broadcast-add the
+            # 2-row position projection — exact same outputs, half the q/k/v
+            # projection FLOPs for the first temporal-decoder layer.
+            assert q_in is k_in and k_in is v_in
+            xq, xk, xv = dense(q_in, [(wq, bq), (wk, bk), (wv, bv)])
+            pq = cast(dup2_pos) @ cast(wq)
+            pk = cast(dup2_pos) @ cast(wk)
+            cat = partial(jnp.concatenate, axis=-2)
+            q = cat([xq + pq[..., 0:1, :], xq + pq[..., 1:2, :]])
+            k = cat([xk + pk[..., 0:1, :], xk + pk[..., 1:2, :]])
+            v = cat([xv, xv])
+        elif q_in is k_in and k_in is v_in:
             q, k, v = dense(q_in, [(wq, bq), (wk, bk), (wv, bv)])
         elif q_in is k_in:
             q, k = dense(q_in, [(wq, bq), (wk, bk)])
@@ -95,7 +114,8 @@ class MaskedMHA(nn.Module):
         probs = jnp.where(any_key, probs, 0.0)
         probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
         out = jnp.einsum("...hqk,...hkd->...hqd", probs, v)
-        out = jnp.moveaxis(out, -3, -2).reshape(*q_in.shape[:-1], E)
+        out = jnp.moveaxis(out, -3, -2)
+        out = out.reshape(*out.shape[:-2], E)
         return nn.Dense(E, name="out_proj", dtype=self.dtype)(out)
 
 
@@ -131,6 +151,13 @@ class MaskedDecoderLayer(nn.Module):
     (rectangular `allow` (Q, K)): the last decoder layer of the 'latter'
     fusion only ever needs its R output rows as queries while attending over
     all 2R stream tokens — per-row math is identical to the square form.
+
+    `dup2=True` is the first-temporal-layer fast path: `x` is the UNDUP
+    (..., R, E) spatial-encoder output whose former/latter streams are
+    identical rows, and `pos` is the raw (2, E) slot-embedding pair; the
+    layer returns the (..., 2R, E) duplicated-stream output with exactly the
+    square-form math but the q/k/v projections computed once per relation
+    (see MaskedMHA dup2_pos).
     """
 
     embed_dim: int
@@ -142,13 +169,20 @@ class MaskedDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos: jnp.ndarray, allow: jnp.ndarray,
                  deterministic: bool = True, kv: jnp.ndarray | None = None,
-                 pos_kv: jnp.ndarray | None = None) -> jnp.ndarray:
-        q_in = x + pos  # shared object when kv is None -> fused q/k projection
-        k_in = q_in if kv is None else kv + pos_kv
-        v_in = x if kv is None else kv
-        attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout,
-                         dtype=self.dtype, name="multihead2")(
-            q_in, k_in, v_in, allow, deterministic)
+                 pos_kv: jnp.ndarray | None = None,
+                 dup2: bool = False) -> jnp.ndarray:
+        if dup2:
+            attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout,
+                             dtype=self.dtype, name="multihead2")(
+                x, x, x, allow, deterministic, dup2_pos=pos)
+            x = jnp.concatenate([x, x], axis=-2)  # residual stream, dup'd
+        else:
+            q_in = x + pos  # shared object when kv is None -> fused q/k proj
+            k_in = q_in if kv is None else kv + pos_kv
+            v_in = x if kv is None else kv
+            attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout,
+                             dtype=self.dtype, name="multihead2")(
+                q_in, k_in, v_in, allow, deterministic)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(name="norm3", dtype=self.dtype)(x)
         h = nn.Dense(self.dim_feedforward, name="linear1", dtype=self.dtype)(x)

@@ -121,7 +121,9 @@ class STTranTransformer(nn.Module):
         # self counts as argument 0 in flax lifted-transform static_argnums
         Enc = (nn.remat(MaskedEncoderLayer, static_argnums=(3,))
                if self.remat else MaskedEncoderLayer)
-        Dec = (nn.remat(MaskedDecoderLayer, static_argnums=(4,))
+        # static args (self=0): deterministic=4, dup2=7; remat-wrapped layers
+        # are therefore always called with the full positional signature
+        Dec = (nn.remat(MaskedDecoderLayer, static_argnums=(4, 7))
                if self.remat else MaskedDecoderLayer)
 
         # ---- spatial encoder: attention within the same frame ----
@@ -148,7 +150,6 @@ class STTranTransformer(nn.Module):
         pe = self.param("position_embedding", nn.initializers.uniform(scale=1.0),
                         (2, self.embed_dim))
         pos = pe[slot]
-        tokens = jnp.concatenate([local, local], axis=-2)        # (2R, D)
         # the last ('latter') layer is rectangular and called with kv=/
         # pos_kv= keywords, which lifted remat's static_argnums indexing
         # does not cover — it stays unremated (1 of dec_layers layers)
@@ -158,9 +159,22 @@ class STTranTransformer(nn.Module):
                     self.dropout, dtype=self.dtype, name=f"dec_{i}")
                for i in range(self.dec_layers)]
 
+        def run_square(layers):
+            # The 2R former/latter stream rows entering layer 0 are identical
+            # copies of `local` (only their slot embedding differs), so the
+            # first layer runs the dup2 fast path: q/k/v projections on R rows
+            # + the 2-row slot-embedding projection, exact same outputs
+            # (MaskedDecoderLayer.dup2). Later layers see diverged streams.
+            toks = jnp.concatenate([local, local], axis=-2)      # (2R, D)
+            for i, layer in enumerate(layers):
+                if i == 0:
+                    toks = layer(local, pe, allow_t, det, None, None, True)
+                else:
+                    toks = layer(toks, pos, allow_t, det, None, None, False)
+            return toks
+
         if self.mode == "both":
-            for layer in dec:
-                tokens = layer(tokens, pos, allow_t, det)
+            tokens = run_square(dec)
             former, latter = tokens[..., :R, :], tokens[..., R:, :]
             mid = 0.5 * (former + latter)
             out = jnp.where((im_idx == 0)[..., None], former,
@@ -172,8 +186,7 @@ class STTranTransformer(nn.Module):
             # layer, but the LAST layer's query/FFN work is computed for just
             # those R output rows (identical per-row math; ~1/6 of decoder
             # FLOPs saved at dec_layers=3).
-            for layer in dec[:-1]:
-                tokens = layer(tokens, pos, allow_t, det)
+            tokens = run_square(dec[:-1])
             is0 = im_idx == 0
             q_tokens = jnp.where(is0[..., None], tokens[..., :R, :],
                                  tokens[..., R:, :])
