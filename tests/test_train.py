@@ -262,3 +262,37 @@ def test_place_entries_zero_union_is_equivalent():
     got = place_entries(entries, zero_union=True)
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_decoder_dup2_matches_plain_path():
+    """The first temporal-decoder layer's dup2 fast path (q/k/v projections
+    computed once per relation + broadcast-added slot-embedding projection,
+    models/layers.py::MaskedMHA dup2_pos) must equal the plain duplicated-
+    stream call bit-for-bit up to matmul reassociation."""
+    import jax
+    import jax.numpy as jnp
+
+    from nl_vsgg_tpu.models.layers import MaskedDecoderLayer
+
+    R, E, F = 24, 32, 5
+    rng = np.random.default_rng(3)
+    local = jnp.asarray(rng.standard_normal((R, E)).astype(np.float32))
+    im_idx = jnp.asarray(np.sort(rng.integers(0, F, R)).astype(np.int32))
+    rel_mask = jnp.asarray(rng.uniform(size=R) > 0.25)
+    pe = jnp.asarray(rng.standard_normal((2, E)).astype(np.float32))
+    num_frames = jnp.asarray(F)
+
+    window = jnp.concatenate([im_idx, im_idx - 1])
+    slot = jnp.concatenate([jnp.zeros_like(im_idx), jnp.ones_like(im_idx)])
+    valid = jnp.concatenate([rel_mask & (im_idx <= num_frames - 2),
+                             rel_mask & (im_idx >= 1)])
+    allow = (window[:, None] == window[None, :]) \
+        & valid[:, None] & valid[None, :]
+
+    layer = MaskedDecoderLayer(E, 4, 64, 0.1)
+    x2 = jnp.concatenate([local, local], axis=-2)
+    params = layer.init(jax.random.key(0), x2, pe[slot], allow, True)
+    out_plain = layer.apply(params, x2, pe[slot], allow, True)
+    out_dup2 = layer.apply(params, local, pe, allow, True, None, None, True)
+    np.testing.assert_allclose(np.asarray(out_dup2), np.asarray(out_plain),
+                               rtol=1e-5, atol=1e-5)

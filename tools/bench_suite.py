@@ -52,8 +52,12 @@ def check_physical(flops_per_iter: float, dt_per_iter: float, label: str) -> flo
     return tf
 
 
-def bench_train_step(iters: int):
-    """fwd+bwd+AdamW at the bench shapes; steps chain through the state."""
+def bench_train_step(iters: int, B: int = 16, dtype=None):
+    """fwd+bwd+AdamW at the bench shapes; steps chain through the state.
+
+    The b64/bf16 variant is the production recommendation: the optimizer's
+    ~5 ms of HBM passes amortize over 4x the videos (measured 64->79 TFLOP/s
+    going b16->b64 at bf16, tools/probe_train_mfu.py)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -63,12 +67,12 @@ def bench_train_step(iters: int):
     from nl_vsgg_tpu.train import (create_train_state, make_optimizer,
                                    make_train_step, stack_entries)
 
-    B, F, FEAT = 16, 32, 2048
+    F, FEAT = 32, 2048
     rng = np.random.default_rng(0)
     entries = [make_synthetic_entry(rng, n_frames=F, objs_per_frame=3,
                                     bucket_boxes=128, bucket_rels=96,
                                     feat_dim=FEAT) for _ in range(B)]
-    model = STTran(mode="sgdet", feat_dim=FEAT)
+    model = STTran(mode="sgdet", feat_dim=FEAT, dtype=dtype)
     tx = make_optimizer(lr=1e-5)
     state, tx = create_train_state(model, entries[0], jax.random.key(0), tx=tx)
     batch = jax.tree.map(jnp.asarray, stack_entries(entries))
@@ -93,7 +97,8 @@ def bench_train_step(iters: int):
     dt = timed(lambda s, b: float(chained(s, b)), state, batch)
     per = dt / iters
     tf = check_physical(flops, per, "train_step")
-    print(f"train_step  b{B}x{F}f fp32: {per * 1e3:8.2f} ms/step "
+    tag = "bf16" if dtype is not None else "fp32"
+    print(f"train_step  b{B}x{F}f {tag}: {per * 1e3:8.2f} ms/step "
           f"({B * F / per:,.0f} frames/s, {tf:.0f} TFLOP/s)")
 
 
@@ -269,6 +274,8 @@ def main():
     bench_roi_align(args.iters)
     bench_device_recall(args.iters)
     bench_train_step(args.iters)
+    import jax.numpy as jnp
+    bench_train_step(args.iters, B=64, dtype=jnp.bfloat16)
     bench_dsg_detr(args.iters)
     if args.detector:
         bench_detector(args.iters)

@@ -1,0 +1,80 @@
+"""Probe: sweep EFFECTIVE group counts for ResNeXt's 32-group 3x3 convs.
+
+A 32-group conv can be computed exactly as a G'-group conv (G' divides 32)
+with block-diagonal weights (the added terms multiply stored zeros). FLOPs
+scale by 32/G', but XLA's grouped-conv efficiency collapses at small
+channels-per-group (0.9 TFLOP/s at 8 ch/group, tools/probe_grouped_conv.py),
+so a middle G' can beat both ends. This measures the sweep per stage.
+
+Usage: python tools/probe_group_pack.py [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--frames", type=int, default=8)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tools.bench_suite import check_physical, timed
+
+    print(f"# device: {jax.devices()[0].device_kind}", flush=True)
+    F = args.frames
+    stages = [
+        ("stage2", F, 152, 256, 256),
+        ("stage3", F, 76, 128, 512),
+        ("stage4", F, 38, 64, 1024),
+        ("stage5(rois)", 300, 14, 14, 2048),
+    ]
+    rng = np.random.default_rng(0)
+
+    for name, N, H, W, C in stages:
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32),
+                        jnp.bfloat16)
+        base = None
+        for gp in (32, 16, 8, 4, 2, 1):
+            w = jnp.asarray(
+                rng.standard_normal((3, 3, C // gp, C)).astype(np.float32),
+                jnp.bfloat16)
+
+            def conv(x, w, gp=gp):
+                return lax.conv_general_dilated(
+                    x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=gp)
+
+            @jax.jit
+            def chained(x, w):
+                def body(i, c):
+                    out = conv(x + (c * 1e-30).astype(x.dtype), w)
+                    return c + jnp.sum(out.astype(jnp.float32)) * 1e-30
+                return lax.fori_loop(0, args.iters, body,
+                                     jnp.zeros((), jnp.float32))
+
+            flops = float(jax.jit(conv).lower(x, w).compile()
+                          .cost_analysis()["flops"])
+            dt = timed(lambda a, b: float(chained(a, b)), x, w) / args.iters
+            check_physical(flops, dt, f"{name}/g{gp}")
+            if base is None:
+                base = dt
+            print(f"{name:14s} g{gp:<3d} (ch/grp {C // gp:4d}): {dt * 1e3:7.2f} ms"
+                  f"  {flops / dt / 1e12:6.1f} TFLOP/s  {base / dt:5.2f}x vs g32",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
