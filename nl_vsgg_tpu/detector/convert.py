@@ -11,10 +11,12 @@ Name mapping (maskrcnn_benchmark conventions):
   roi_heads.box.predictor.{cls_score,bbox_pred}-> box_head.predictor.*
 
 Transforms: conv OIHW -> HWIO; grouped convs likewise (XLA's
-feature_group_count uses the same per-group output blocking as torch);
-linear (O, I) -> (I, O); FrozenBatchNorm2d (weight, bias, running_mean,
-running_var) folds into (scale, bias) with the reference's eps=0 form
-`scale = weight * running_var.rsqrt()`.
+feature_group_count uses the same per-group output blocking as torch), then
+expanded block-diagonally to the per-stage EFF_GROUPS packing
+(resnet.py::pack_grouped_kernel — exact, the extra multiplies hit stored
+zeros); linear (O, I) -> (I, O); FrozenBatchNorm2d (weight, bias,
+running_mean, running_var) folds into (scale, bias) with the reference's
+eps=0 form `scale = weight * running_var.rsqrt()`.
 
 The attribute head (roi_heads.attribute.*) is not used by any NL-VSGG path
 (features + boxes only) and is skipped.
@@ -51,13 +53,18 @@ def _lin(sd, key):
             "bias": np.asarray(sd[key + ".bias"], np.float32)}
 
 
-def _stage(sd, src_prefix: str, n_blocks: int) -> dict:
+def _stage(sd, src_prefix: str, n_blocks: int, stage_key: str | None = None,
+           groups: int = 32) -> dict:
+    from .resnet import EFF_GROUPS, pack_grouped_kernel
+    eff = EFF_GROUPS.get(stage_key, groups) if stage_key else groups
     out = {}
     for i in range(n_blocks):
         p = f"{src_prefix}.{i}"
+        conv2 = _conv(sd, p + ".conv2")
+        conv2["kernel"] = pack_grouped_kernel(conv2["kernel"], groups, eff)
         blk = {
             "conv1": _conv(sd, p + ".conv1"), "bn1": _fold_bn(sd, p + ".bn1"),
-            "conv2": _conv(sd, p + ".conv2"), "bn2": _fold_bn(sd, p + ".bn2"),
+            "conv2": conv2, "bn2": _fold_bn(sd, p + ".bn2"),
             "conv3": _conv(sd, p + ".conv3"), "bn3": _fold_bn(sd, p + ".bn3"),
         }
         if p + ".downsample.0.weight" in sd:
@@ -73,9 +80,9 @@ def convert_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
     backbone = {
         "stem_conv1": _conv(sd, "backbone.body.stem.conv1"),
         "stem_bn1": _fold_bn(sd, "backbone.body.stem.bn1"),
-        "layer1": _stage(sd, "backbone.body.layer1", 3),
-        "layer2": _stage(sd, "backbone.body.layer2", 8),
-        "layer3": _stage(sd, "backbone.body.layer3", 36),
+        "layer1": _stage(sd, "backbone.body.layer1", 3, "layer1"),
+        "layer2": _stage(sd, "backbone.body.layer2", 8, "layer2"),
+        "layer3": _stage(sd, "backbone.body.layer3", 36, "layer3"),
     }
     rpn_head = {
         "conv": _conv_b(sd, "rpn.head.conv"),
@@ -84,7 +91,7 @@ def convert_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
     }
     box_head = {
         "head": {"layer4": _stage(
-            sd, "roi_heads.box.feature_extractor.head.layer4", 3)},
+            sd, "roi_heads.box.feature_extractor.head.layer4", 3, "layer4")},
         "predictor": {
             "cls_score": _lin(sd, "roi_heads.box.predictor.cls_score"),
             "bbox_pred": _lin(sd, "roi_heads.box.predictor.bbox_pred"),
@@ -108,11 +115,33 @@ def load_npz(path: str) -> dict:
     return out
 
 
+def _expand_legacy_groups(variables: dict, groups: int = 32) -> dict:
+    """Expand conv2 kernels of an npz written before group packing (compact
+    (3, 3, C/32, C) layout) to the module's current EFF_GROUPS shapes."""
+    from .resnet import EFF_GROUPS, pack_grouped_kernel
+    params = variables.get("params", {})
+    stages = [(params.get("backbone", {}), k) for k in ("layer1", "layer2", "layer3")]
+    stages.append((params.get("box_head", {}).get("head", {}), "layer4"))
+    # expand whenever the stored in-dim matches the compact grouped layout
+    # but the stage wants a wider packing
+    for parent, key in stages:
+        eff = EFF_GROUPS[key]
+        for blk in parent.get(key, {}).values():
+            conv2 = blk.get("conv2")
+            if not conv2:
+                continue
+            k = conv2["kernel"]
+            c = k.shape[3]
+            if eff != groups and k.shape[2] == c // groups:
+                conv2["kernel"] = pack_grouped_kernel(np.asarray(k), groups, eff)
+    return variables
+
+
 def load_checkpoint(path: str) -> dict:
     """Load converted variables: .npz (torch-free runtime path) or a raw
     torch .pth (converted on the fly)."""
     if path.endswith(".npz"):
-        return load_npz(path)
+        return _expand_legacy_groups(load_npz(path))
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt.get("state_dict", ckpt))

@@ -17,7 +17,22 @@ frozen affine transforms (maskrcnn FrozenBatchNorm2d) — inference-only scale
 and bias folded from running statistics at weight-conversion time.
 
 Everything is NHWC (TPU layout); grouped conv maps to
-`nn.Conv(feature_group_count=32)`, which XLA tiles onto the MXU directly.
+`nn.Conv(feature_group_count=...)`.
+
+Group packing. XLA's grouped conv collapses on the MXU at small
+channels-per-group (measured on TPU v5 lite, tools/probe_group_pack.py:
+0.9 TFLOP/s at 8 ch/group vs ~110 for the same geometry dense). A G-group
+conv is EXACTLY a G'-group conv (G' | G) whose weights are block-diagonal
+within each packed super-group — the extra multiplies hit stored zeros, and
+adding 0.0 terms is exact in IEEE. FLOPs scale by G/G', but the measured
+sweep makes a middle point fastest per stage:
+
+  stage2 (8 ch/grp):  dense g1   4.0x    stage3 (16 ch/grp): g4   2.0x
+  stage4 (32 ch/grp): g8   1.35x         stage5 (64 ch/grp): unpacked wins
+
+`EFF_GROUPS` records the chosen effective group count per stage; the weight
+converter (detector/convert.py) expands checkpoint kernels with
+`pack_grouped_kernel`, so the stored zeros never exist in the .pth.
 """
 
 from __future__ import annotations
@@ -26,6 +41,31 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
+
+# effective feature_group_count per stage (keys = converter stage names);
+# picked from the TPU v5 lite sweep in tools/probe_group_pack.py:
+#   layer1 dense 4.0x, layer2 g4 2.0x, layer3 g8 1.35x over g32;
+#   layer4 (64 ch/group over RoI crops) is fastest UNPACKED
+EFF_GROUPS = {"layer1": 1, "layer2": 4, "layer3": 8, "layer4": 32}
+
+
+def pack_grouped_kernel(w: np.ndarray, groups: int, eff_groups: int) -> np.ndarray:
+    """Expand an HWIO grouped-conv kernel (kh, kw, C/groups, C) into the
+    block-diagonal (kh, kw, C/eff_groups, C) form computing the IDENTICAL
+    convolution with feature_group_count=eff_groups (zeros elsewhere)."""
+    if eff_groups == groups:
+        return w
+    assert groups % eff_groups == 0, (groups, eff_groups)
+    kh, kw, cg_in, c = w.shape
+    cg_out = c // groups
+    pack = groups // eff_groups  # original groups per super-group
+    out = np.zeros((kh, kw, cg_in * pack, c), w.dtype)
+    for g in range(groups):
+        sub = g % pack  # position inside its super-group
+        out[:, :, sub * cg_in:(sub + 1) * cg_in,
+            g * cg_out:(g + 1) * cg_out] = w[..., g * cg_out:(g + 1) * cg_out]
+    return out
 
 
 class FrozenBN(nn.Module):
@@ -50,6 +90,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     groups: int = 32
     has_downsample: bool = False
+    eff_groups: int | None = None  # block-diagonal packing (see module doc)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -58,7 +99,8 @@ class Bottleneck(nn.Module):
         h = FrozenBN(self.mid_channels, name="bn1")(h)
         h = nn.relu(h)
         h = nn.Conv(self.mid_channels, (3, 3), strides=self.stride,
-                    padding=((1, 1), (1, 1)), feature_group_count=self.groups,
+                    padding=((1, 1), (1, 1)),
+                    feature_group_count=self.eff_groups or self.groups,
                     use_bias=False, name="conv2")(h)
         h = FrozenBN(self.mid_channels, name="bn2")(h)
         h = nn.relu(h)
@@ -77,13 +119,14 @@ class Stage(nn.Module):
     out_channels: int
     first_stride: int
     groups: int = 32
+    eff_groups: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_blocks):
             x = Bottleneck(self.mid_channels, self.out_channels,
                            stride=self.first_stride if i == 0 else 1,
-                           groups=self.groups,
+                           groups=self.groups, eff_groups=self.eff_groups,
                            has_downsample=(i == 0), name=f"block{i}")(x)
         return x
 
@@ -96,18 +139,23 @@ class ResNeXt152C4(nn.Module):
     """Stem + stages 2-4 -> (H/16, W/16, 1024) C4 feature map."""
 
     groups: int = 32
+    pack_groups: bool = True  # EFF_GROUPS block-diagonal packing (exact)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        eff = (lambda k: EFF_GROUPS[k] if self.pack_groups else None)
         h = nn.Conv(64, (7, 7), strides=2, padding=((3, 3), (3, 3)),
                     use_bias=False, name="stem_conv1")(x)
         h = FrozenBN(64, name="stem_bn1")(h)
         h = nn.relu(h)
         # torch MaxPool2d(3, 2, padding=1): pad with -inf so padding never wins
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        h = Stage(R152_BLOCKS[0], 256, 256, 1, self.groups, name="layer1")(h)
-        h = Stage(R152_BLOCKS[1], 512, 512, 2, self.groups, name="layer2")(h)
-        h = Stage(R152_BLOCKS[2], 1024, 1024, 2, self.groups, name="layer3")(h)
+        h = Stage(R152_BLOCKS[0], 256, 256, 1, self.groups,
+                  eff_groups=eff("layer1"), name="layer1")(h)
+        h = Stage(R152_BLOCKS[1], 512, 512, 2, self.groups,
+                  eff_groups=eff("layer2"), name="layer2")(h)
+        h = Stage(R152_BLOCKS[2], 1024, 1024, 2, self.groups,
+                  eff_groups=eff("layer3"), name="layer3")(h)
         return h
 
 
@@ -117,7 +165,10 @@ class ResNeXtC5Head(nn.Module):
     == roi_heads.box.feature_extractor.head in the reference stack."""
 
     groups: int = 32
+    pack_groups: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return Stage(R152_BLOCKS[3], 2048, 2048, 2, self.groups, name="layer4")(x)
+        return Stage(R152_BLOCKS[3], 2048, 2048, 2, self.groups,
+                     eff_groups=EFF_GROUPS["layer4"] if self.pack_groups else None,
+                     name="layer4")(x)

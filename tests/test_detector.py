@@ -192,3 +192,34 @@ class TestComputeDtype:
         det_c = AttrRCNNJax.create(compute_dtype="bfloat16")
         assert det_c.module.compute_dtype == jnp.bfloat16
         assert det16.module.compute_dtype == jnp.bfloat16
+
+
+class TestGroupPacking:
+    """pack_grouped_kernel's block-diagonal expansion must compute the
+    IDENTICAL convolution at feature_group_count=eff (the extra multiplies
+    hit stored zeros; adding 0.0 terms is exact in IEEE)."""
+
+    @pytest.mark.parametrize("eff", [1, 2, 4, 8])
+    def test_packed_equals_grouped(self, eff):
+        from jax import lax
+
+        from nl_vsgg_tpu.detector.resnet import pack_grouped_kernel
+
+        rng = np.random.default_rng(0)
+        G, C, N, H, W = 8, 32, 2, 6, 5
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+        w = rng.standard_normal((3, 3, C // G, C)).astype(np.float32)
+
+        def conv(w, gp):
+            return lax.conv_general_dilated(
+                x, jnp.asarray(w), window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=gp)
+
+        ref = conv(w, G)
+        packed = conv(pack_grouped_kernel(w, G, eff), eff)
+        # the added terms are exact zeros; only the compiled summation ORDER
+        # of the nonzero terms differs between the two convolutions
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
