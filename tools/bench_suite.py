@@ -226,7 +226,7 @@ def bench_dsg_detr(iters: int):
           f"{flops / 1e12:.2f} TFLOP/call)")
 
 
-def bench_detector(iters: int):
+def bench_detector(iters: int, dtype: str | None = None):
     """VinVL-JAX detect_batch (backbone + RPN + box head + NMS) on an 8-frame
     video bucket at the 600/1000 input scale — the offline feature-extraction
     path (reference loops per-frame at batch 4,
@@ -240,7 +240,7 @@ def bench_detector(iters: int):
     from nl_vsgg_tpu.detector.attr_rcnn import AttrRCNNJax
 
     F, H, W = 8, 608, 1024
-    det = AttrRCNNJax.create()
+    det = AttrRCNNJax.create(compute_dtype=dtype)
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.standard_normal((F, H, W, 3)).astype(np.float32))
     anchors = jnp.asarray(grid_anchors(H // 16, W // 16))
@@ -268,17 +268,29 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--detector", action="store_true",
                    help="also bench the VinVL-JAX detector (long compile)")
+    p.add_argument("--only", default=None,
+                   help="run a single row: roi_align | recall | train_step | "
+                        "train_step_bf16 | dsg_detr | detector")
     args = p.parse_args()
     import jax
     print(f"# device: {jax.devices()[0].device_kind}")
-    bench_roi_align(args.iters)
-    bench_device_recall(args.iters)
-    bench_train_step(args.iters)
     import jax.numpy as jnp
-    bench_train_step(args.iters, B=64, dtype=jnp.bfloat16)
-    bench_dsg_detr(args.iters)
-    if args.detector:
-        bench_detector(args.iters)
+    rows = {
+        "roi_align": lambda: bench_roi_align(args.iters),
+        "recall": lambda: bench_device_recall(args.iters),
+        "train_step": lambda: bench_train_step(args.iters),
+        "train_step_bf16": lambda: bench_train_step(args.iters, B=64,
+                                                    dtype=jnp.bfloat16),
+        "dsg_detr": lambda: bench_dsg_detr(args.iters),
+        "detector": lambda: bench_detector(args.iters),
+    }
+    if args.only:
+        rows[args.only]()
+        return
+    for name, row in rows.items():
+        if name == "detector" and not args.detector:
+            continue
+        row()
 
 
 if __name__ == "__main__":
