@@ -168,8 +168,10 @@ class DSGDETR(nn.Module):
             entry.features[..., entry.pair_idx[..., 0], :])
         obj_rep = nn.Dense(512, name="obj_fc", dtype=self.dtype)(
             entry.features[..., entry.pair_idx[..., 1], :])
-        union_proj = nn.Conv(256, (1, 1), name="union_func1",
-                             dtype=self.dtype)(entry.union_feat)
+        # 1x1 conv == channel-axis Dense; dot form avoids the conv's layout
+        # copy of the big union-feature operand (see models/sttran.py)
+        union_proj = nn.Dense(256, name="union_func1",
+                              dtype=self.dtype)(entry.union_feat)
         mask_feat = SpatialMaskConv(dtype=self.dtype, name="spatial_conv")(
             entry.spatial_masks, entry.rel_mask, train)
         vr = union_proj + mask_feat

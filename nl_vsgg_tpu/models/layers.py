@@ -258,8 +258,14 @@ class MaskedBatchNorm(nn.Module):
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
-        return scale * (x.astype(jnp.float32) - mean) \
+        out = scale * (x.astype(jnp.float32) - mean) \
             * (1.0 / jnp.sqrt(var + self.epsilon)) + bias
+        # normalize in fp32, return in the caller's compute dtype: a bf16
+        # tower (SpatialMaskConv) otherwise round-trips its maxpool and the
+        # following conv through fp32 at 2x the HBM traffic; fp32 callers
+        # are unchanged. Rounding is monotonic, so e.g. max-pool over the
+        # bf16 output equals the bf16 cast of the fp32 max-pool.
+        return out.astype(x.dtype)
 
 
 def sinusoidal_position_table(max_len: int, d_model: int) -> jnp.ndarray:

@@ -14,7 +14,7 @@ optax.inject_hyperparams.
 
 NaN guard parity: the reference skips the optimizer step when the loss is NaN
 or the video grounded zero boxes (lib/utils.py:3-12). Inside jit this becomes
-a `where` on the parameter/optimizer-state update (see step.py).
+a `lax.cond` around the optimizer apply (see step.py).
 """
 
 from __future__ import annotations

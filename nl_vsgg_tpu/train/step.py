@@ -16,8 +16,9 @@ mean and the stats mean are weighted by a per-video validity flag
 (box_mask.any()) so all-zero padded videos (mesh fill) contribute nothing.
 
 The NaN/empty-video guard (lib/utils.py:3-12, applied per step in
-tools/train_STTran.py:191) is a branchless `where`: invalid steps leave
-params/opt_state/batch_stats untouched and bump `state.skipped`.
+tools/train_STTran.py:191) is a `lax.cond` around the optimizer apply:
+invalid steps leave params/opt_state/batch_stats untouched and bump
+`state.skipped`; valid steps pay no select pass over the state tree.
 """
 
 from __future__ import annotations
@@ -119,18 +120,30 @@ def make_train_step(model, tx, bce: bool = True) -> Callable:
         has_boxes = batch.box_mask.any()
         valid = finite & has_boxes
 
-        safe_grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
-        updates, new_opt = tx.update(safe_grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        # Branch (lax.cond), don't select: a tree-wide `where` over
+        # params+m+v would stream ~3x the parameter bytes through HBM on
+        # EVERY step to guard the rare invalid one (measured 3.8 ms of an
+        # 86 ms b64 step, tools/probe_trace.py). The true branch only runs
+        # on all-finite grads, so no NaN ever reaches the optimizer and the
+        # skipped step leaves params/opt_state/batch_stats bit-identical —
+        # the same semantics the reference gets by `continue` on
+        # check_valid_iter failure.
+        def do_update(grads, new_stats):
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            return new_params, new_opt, new_stats
 
-        def keep(new, old):
-            return jax.tree.map(lambda n, o: jnp.where(valid, n, o), new, old)
+        def skip_update(grads, new_stats):
+            return state.params, state.opt_state, state.batch_stats
+
+        new_params, new_opt, kept_stats = jax.lax.cond(
+            valid, do_update, skip_update, grads, new_stats)
 
         state = state.replace(
             step=state.step + 1,
-            params=keep(new_params, state.params),
-            batch_stats=keep(new_stats, state.batch_stats),
-            opt_state=keep(new_opt, state.opt_state),
+            params=new_params,
+            batch_stats=kept_stats,
+            opt_state=new_opt,
             skipped=state.skipped + jnp.where(valid, 0, 1).astype(jnp.int32),
         )
         metrics = dict(losses, valid=valid.astype(jnp.float32))

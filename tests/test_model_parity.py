@@ -109,7 +109,11 @@ def _common_head(ref):
         "object_classifier": oc_p,
         "subj_fc": _lin(ref.subj_fc), "obj_fc": _lin(ref.obj_fc),
         "vr_fc": _vr_fc(ref.vr_fc),
-        "union_func1": _conv(ref.union_func1),
+        # our union_func1 is a channel-axis Dense (== the reference's 1x1
+        # conv): kernel (2048, 256) from the conv's (256, 2048, 1, 1)
+        "union_func1": {
+            "kernel": ref.union_func1.weight.detach().numpy()[:, :, 0, 0].T,
+            "bias": ref.union_func1.bias.detach().numpy()},
         "spatial_conv": sc_p,
         "obj_embed": ref.obj_embed.weight.detach().numpy(),
         "obj_embed2": ref.obj_embed2.weight.detach().numpy(),
