@@ -241,7 +241,6 @@ class MaskedBatchNorm(nn.Module):
             # statistics in fp32 regardless of the compute dtype (like flax's
             # BatchNorm): summing ~1e4 bf16 elements loses ~1e-2 per channel
             # and would pollute the fp32 running buffers
-            xf = x.astype(jnp.float32)
             m = mask.astype(jnp.float32)
             while m.ndim < x.ndim:
                 m = m[..., None]
@@ -250,10 +249,16 @@ class MaskedBatchNorm(nn.Module):
             # denominator must include the spatial dims the row mask
             # broadcasts over
             count = jnp.maximum(
-                jnp.broadcast_to(m, xf.shape[:-1] + (1,)).sum(), 1.0)
+                jnp.broadcast_to(m, x.shape[:-1] + (1,)).sum(), 1.0)
             red = tuple(range(x.ndim - 1))
+            # two-pass mean/var in fp32 (golden vs torch). NOTE: a one-pass
+            # E[x^2]-E[x]^2 via variadic lax.reduce was tried to avoid the
+            # materialized fp32 upcast — its autodiff rules emit
+            # reshape/slice/add_any chains that cost 4x the upcast
+            # (measured, tools/probe_trace.py); don't.
+            xf = x.astype(jnp.float32)
             mean = (xf * m).sum(axis=red) / count
-            var = (((xf - mean) ** 2) * m).sum(axis=red) / count  # biased, like torch
+            var = (((xf - mean) ** 2) * m).sum(axis=red) / count  # biased
             if not self.is_initializing():
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean

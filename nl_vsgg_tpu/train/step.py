@@ -39,7 +39,7 @@ def stack_entries(entries: list[Entry]) -> Entry:
 
 
 def place_entries(entries: list[Entry], zero_union: bool = False,
-                  cast_bf16: bool = False) -> Entry:
+                  cast_bf16: bool = False, rel_bf16: bool = False) -> Entry:
     """Device-ready batch from host Entries, transfer-count- and byte-aware.
 
     Two properties matter on latency-bound links (a tunneled chip pays
@@ -54,12 +54,19 @@ def place_entries(entries: list[Entry], zero_union: bool = False,
 
     `cast_bf16` additionally uploads the three large float arrays
     (features / union_feat / spatial_masks) at bf16 width — for serving
-    with a bf16-compute model, which casts them anyway. Training keeps
-    fp32 uploads. The math is identical either way (zeros are zeros;
-    bf16 is the model's own compute dtype).
+    with a bf16-compute model, which casts them anyway.
+
+    `rel_bf16` casts ONLY union_feat + spatial_masks: with a bf16-compute
+    model these two arrays are consumed exclusively by bf16 submodules
+    (union_func1 / SpatialMaskConv), so the cast is EXACTLY the model's own
+    and the train-path math is bit-identical — but union_feat, the largest
+    operand of the step, streams from HBM at half width in both fwd and
+    wgrad (measured ~7.2 -> ~3.6 ms of the b64 step, tools/probe_trace.py).
+    `features` stays fp32: the object classifier consumes it in fp32.
     """
     import numpy as np
-    big = jnp.bfloat16 if cast_bf16 else jnp.float32
+    rel_bf16 = rel_bf16 or cast_bf16
+    big = jnp.bfloat16 if rel_bf16 else jnp.float32
     uf_shape = (len(entries),) + tuple(np.shape(entries[0].union_feat))
     if zero_union:
         placeholder = np.zeros((1,), np.float32)
@@ -68,11 +75,12 @@ def place_entries(entries: list[Entry], zero_union: bool = False,
                         *entries)
     if zero_union:
         host = host.replace(union_feat=jnp.zeros(uf_shape, big))
-    elif cast_bf16:
+    elif rel_bf16:
         host = host.replace(union_feat=jnp.asarray(host.union_feat, big))
+    if rel_bf16:
+        host = host.replace(spatial_masks=jnp.asarray(host.spatial_masks, big))
     if cast_bf16:
-        host = host.replace(features=jnp.asarray(host.features, big),
-                            spatial_masks=jnp.asarray(host.spatial_masks, big))
+        host = host.replace(features=jnp.asarray(host.features, jnp.bfloat16))
     return jax.tree.map(jnp.asarray, host)
 
 

@@ -264,6 +264,42 @@ def test_place_entries_zero_union_is_equivalent():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_place_entries_rel_bf16_matches_model_cast():
+    """Pre-casting union_feat/spatial_masks to bf16 at batch build must give
+    bit-identical bf16-model outputs to uploading fp32 (the model casts
+    those two arrays itself; features must stay fp32 — the object
+    classifier consumes them in full precision)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
+    from nl_vsgg_tpu.models.sttran import STTran
+    from nl_vsgg_tpu.train import place_entries
+
+    rng = np.random.default_rng(12)
+    entries = [make_synthetic_entry(rng, n_frames=3, bucket_boxes=16,
+                                    bucket_rels=8, feat_dim=32)
+               for _ in range(2)]
+    full = place_entries(entries)
+    cast = place_entries(entries, rel_bf16=True)
+    assert cast.union_feat.dtype == jnp.bfloat16
+    assert cast.spatial_masks.dtype == jnp.bfloat16
+    assert cast.features.dtype == jnp.float32
+
+    model = STTran(mode="sgdet", feat_dim=32, dtype=jnp.bfloat16)
+    one = jax.tree.map(lambda x: x[0], full)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)}, one, train=False)
+
+    def fwd(b):
+        return jax.vmap(lambda e: model.apply(variables, e, train=False))(b)
+
+    out_full, out_cast = fwd(full), fwd(cast)
+    for k in out_full:
+        np.testing.assert_array_equal(np.asarray(out_full[k]),
+                                      np.asarray(out_cast[k]), err_msg=k)
+
+
 def test_decoder_dup2_matches_plain_path():
     """The first temporal-decoder layer's dup2 fast path (q/k/v projections
     computed once per relation + broadcast-added slot-embedding projection,

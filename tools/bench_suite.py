@@ -76,6 +76,9 @@ def bench_train_step(iters: int, B: int = 16, dtype=None):
     tx = make_optimizer(lr=1e-5)
     state, tx = create_train_state(model, entries[0], jax.random.key(0), tx=tx)
     batch = jax.tree.map(jnp.asarray, stack_entries(entries))
+    if dtype is not None:  # production path: rel arrays pre-cast (exact)
+        batch = batch.replace(union_feat=batch.union_feat.astype(dtype),
+                              spatial_masks=batch.spatial_masks.astype(dtype))
     step = make_train_step(model, tx, bce=True)
     # rbg keys, like the production loop (cfg.prng_impl): threefry dropout
     # bits alone cost ~16% of the step

@@ -40,18 +40,23 @@ def main():
     FEAT, F = 2048, 32
     rng = np.random.default_rng(0)
 
-    def make_batch(B):
+    def make_batch(B, dtype=None):
         entries = [make_synthetic_entry(rng, n_frames=F, objs_per_frame=3,
                                         bucket_boxes=128, bucket_rels=96,
                                         feat_dim=FEAT) for _ in range(B)]
-        return jax.tree.map(jnp.asarray, stack_entries(entries)), entries[0]
+        batch = jax.tree.map(jnp.asarray, stack_entries(entries))
+        if dtype is not None:  # production path: rel arrays pre-cast (exact)
+            batch = batch.replace(
+                union_feat=batch.union_feat.astype(dtype),
+                spatial_masks=batch.spatial_masks.astype(dtype))
+        return batch, entries[0]
 
     key1 = jax.random.key(1, impl="rbg")
 
     def bench_step(name, B, dtype=None, remat=False, kind="full"):
         if args.only and args.only != name:
             return
-        batch, one = make_batch(B)
+        batch, one = make_batch(B, dtype)
         model = STTran(mode="sgdet", feat_dim=FEAT, dtype=dtype, remat=remat)
         tx = make_optimizer(lr=1e-5)
         state, tx = create_train_state(model, one, jax.random.key(0), tx=tx)

@@ -115,7 +115,8 @@ def main():
         if e is None:
             evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], {})
             continue
-        batch = place_entries([e], zero_union=zero_union)
+        batch = place_entries([e], zero_union=zero_union,
+                              rel_bf16=cfg.dtype == "bfloat16")
         pred = eval_step(state, batch)
         pd = entry_to_eval_pred(e, {k: np.asarray(v[0]) for k, v in pred.items()})
         evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], pd)

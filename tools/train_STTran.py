@@ -179,7 +179,8 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
             evaluator.evaluate_scene_graph(ds_test.gt_annotations[payload], {})
             continue
         items = payload
-        batch = place_entries([e for _, e in items], zero_union=zero_union)
+        batch = place_entries([e for _, e in items], zero_union=zero_union,
+                              rel_bf16=cfg.dtype == "bfloat16")
         pred = jax.device_get(eval_step(state, batch))
         for bi, (i, e) in enumerate(items):
             p = entry_to_eval_pred(e, {k: v[bi] for k, v in pred.items()})
@@ -321,9 +322,12 @@ def run_training(cfg, args, build_model_fn):
             n_seen += len(bucket_entries)
             with timer("batch_build"):
                 # with no union provider, union_feat is all-zeros: build it
-                # on device instead of uploading ~38 MB/video of zeros
+                # on device instead of uploading ~38 MB/video of zeros;
+                # bf16 models take union_feat/spatial_masks pre-cast (the
+                # model's own cast, moved off the step's HBM hot path)
                 batch = place_entries(bucket_entries,
-                                      zero_union=union_provider is None)
+                                      zero_union=union_provider is None,
+                                      rel_bf16=cfg.dtype == "bfloat16")
                 batch = place_batch(batch)
             if cfg.profile_steps and epoch == start_epoch and global_step == 2:
                 try:  # on-demand XProf trace (SURVEY.md §5: reference has none)
