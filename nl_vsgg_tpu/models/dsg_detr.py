@@ -126,6 +126,7 @@ class DSGDETR(nn.Module):
     dec_layer_num: int = 3   # temporal (global) encoder layers (:503)
     dtype: Any = None        # compute dtype; params stay fp32
     remat: bool = False      # jax.checkpoint every encoder layer (cfg.remat)
+    fused: bool = False      # Pallas fused masked attention (cfg.fused_attention)
     glove_obj36: np.ndarray | None = None  # (36, 200) classifier soft-embed
     glove_obj37: np.ndarray | None = None  # (37, 200) semantic tables
 
@@ -201,7 +202,7 @@ class DSGDETR(nn.Module):
                if self.remat else TorchEncoderLayer)
         h = rel_features
         for i in range(self.enc_layer_num):
-            h = Enc(d_model, 8, 2048, dtype=self.dtype,
+            h = Enc(d_model, 8, 2048, dtype=self.dtype, fused=self.fused,
                     name=f"local_{i}")(h, allow_s, det)
         h = jnp.where(rmask[..., None], h, 0.0)
 
@@ -212,7 +213,7 @@ class DSGDETR(nn.Module):
         ranks = tracklet_rank(obj_cls, sub_row, rmask)
         g = SinusoidalPE(d_model, max_len=400, name="positional_encoder")(h, ranks, det)
         for i in range(self.dec_layer_num):
-            g = Enc(d_model, 8, 2048, dtype=self.dtype,
+            g = Enc(d_model, 8, 2048, dtype=self.dtype, fused=self.fused,
                     name=f"global_{i}")(g, allow_t, det)
         global_output = jnp.where(rmask[..., None], g, 0.0).astype(jnp.float32)
 

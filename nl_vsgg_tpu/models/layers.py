@@ -21,11 +21,14 @@ Numerics match torch:
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = -1e30
 
@@ -45,12 +48,20 @@ class _DenseParams(nn.Module):
 
 
 class MaskedMHA(nn.Module):
-    """Torch-parity multi-head attention with an explicit (Q, K) allow mask."""
+    """Torch-parity multi-head attention with an explicit (Q, K) allow mask.
+
+    `fused=True` routes mask + softmax + probability-dropout + both
+    attention dots through the Pallas kernel (ops/pallas_attention.py):
+    probabilities never touch HBM, the backward recomputes them from a
+    stored log-sum-exp, and the un-lane-aligned head transposes disappear.
+    Same semantics; dropout draws from the TPU PRNG instead of flax's
+    stream (training is stochastic either way)."""
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype | None = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, q_in: jnp.ndarray, k_in: jnp.ndarray, v_in: jnp.ndarray,
@@ -102,19 +113,47 @@ class MaskedMHA(nn.Module):
             (k,) = dense(k_in, [(wk, bk)])
             (v,) = dense(v_in, [(wv, bv)])
 
-        def split(x):  # (..., L, E) -> (..., H, L, D)
-            return jnp.moveaxis(x.reshape(*x.shape[:-1], H, D), -2, -3)
+        if self.fused:
+            from ..ops.pallas_attention import fused_masked_mha
+
+            D_pad = -(-D // 128) * 128
+            if self.dropout > 0.0 and not deterministic:
+                key = self.make_rng("dropout")
+                seeds = jax.random.bits(
+                    key, allow.shape[:-2] + (1,), jnp.uint32).astype(jnp.int32)
+            else:
+                seeds = jnp.zeros(allow.shape[:-2] + (1,), jnp.int32)
+
+            def headpad(x):  # (..., L, E) -> (..., L, H, D_pad), zero lanes
+                x4 = x.reshape(*x.shape[:-1], H, D)
+                return jnp.pad(x4, ((0, 0),) * (x4.ndim - 1)
+                               + ((0, D_pad - D),))
+
+            bias = jnp.where(allow, 0.0, NEG_INF).astype(jnp.float32)
+            call = functools.partial(
+                fused_masked_mha, sm_scale=1.0 / float(np.sqrt(D)),
+                dropout_rate=self.dropout, deterministic=deterministic)
+            for _ in range(q.ndim - 2):  # leading batch dims, if any
+                call = jax.vmap(call)
+            out = call(headpad(q), headpad(k), headpad(v), bias, seeds)
+            out = out[..., :D].reshape(*q.shape[:-1], E)
+            return nn.Dense(E, name="out_proj", dtype=self.dtype)(out)
+
+        def split(x):  # (..., L, E) -> (..., L, H, D); head axis stays where
+            # the row-major reshape puts it — the einsums below carry h as a
+            # batch dim, letting XLA pick the layout instead of paying an
+            # explicit (..., H, L, D) transpose per projection
+            return x.reshape(*x.shape[:-1], H, D)
 
         q, k, v = split(q), split(k), split(v)
-        logits = jnp.einsum("...hqd,...hkd->...hqk", q, k) / jnp.sqrt(D).astype(q.dtype)
+        logits = jnp.einsum("...qhd,...khd->...hqk", q, k) / jnp.sqrt(D).astype(q.dtype)
         logits = jnp.where(allow[..., None, :, :], logits, NEG_INF)
         probs = nn.softmax(logits, axis=-1)
         # rows with zero allowed keys produce uniform garbage; zero them out
         any_key = allow.any(axis=-1)[..., None, :, None]
         probs = jnp.where(any_key, probs, 0.0)
         probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
-        out = jnp.einsum("...hqk,...hkd->...hqd", probs, v)
-        out = jnp.moveaxis(out, -3, -2)
+        out = jnp.einsum("...hqk,...khd->...qhd", probs, v)
         out = out.reshape(*out.shape[:-2], E)
         return nn.Dense(E, name="out_proj", dtype=self.dtype)(out)
 
@@ -127,12 +166,14 @@ class MaskedEncoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     dtype: jnp.dtype | None = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, allow: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout,
-                         dtype=self.dtype, name="self_attn")(
+                         dtype=self.dtype, fused=self.fused,
+                         name="self_attn")(
             x, x, x, allow, deterministic)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(name="norm1", dtype=self.dtype)(x)
@@ -165,6 +206,7 @@ class MaskedDecoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     dtype: jnp.dtype | None = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos: jnp.ndarray, allow: jnp.ndarray,
@@ -173,7 +215,8 @@ class MaskedDecoderLayer(nn.Module):
                  dup2: bool = False) -> jnp.ndarray:
         if dup2:
             attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout,
-                             dtype=self.dtype, name="multihead2")(
+                             dtype=self.dtype, fused=self.fused,
+                             name="multihead2")(
                 x, x, x, allow, deterministic, dup2_pos=pos)
             x = jnp.concatenate([x, x], axis=-2)  # residual stream, dup'd
         else:
@@ -181,7 +224,8 @@ class MaskedDecoderLayer(nn.Module):
             k_in = q_in if kv is None else kv + pos_kv
             v_in = x if kv is None else kv
             attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout,
-                             dtype=self.dtype, name="multihead2")(
+                             dtype=self.dtype, fused=self.fused,
+                             name="multihead2")(
                 q_in, k_in, v_in, allow, deterministic)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(name="norm3", dtype=self.dtype)(x)
@@ -200,12 +244,14 @@ class TorchEncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     dtype: jnp.dtype | None = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, allow: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         attn = MaskedMHA(self.embed_dim, self.num_heads, self.dropout,
-                         dtype=self.dtype, name="self_attn")(
+                         dtype=self.dtype, fused=self.fused,
+                         name="self_attn")(
             x, x, x, allow, deterministic)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(name="norm1", dtype=self.dtype)(x)

@@ -111,6 +111,7 @@ class STTranTransformer(nn.Module):
     remat: bool = False  # rematerialize encoder/decoder layers in the bwd
     # pass (jax.checkpoint): ~layer-depth x less activation memory for the
     # temporal stack at the cost of recomputing the fwd — same math
+    fused: bool = False  # Pallas fused masked attention (ops/pallas_attention)
 
     @nn.compact
     def __call__(self, rel_features: jnp.ndarray, im_idx: jnp.ndarray,
@@ -133,7 +134,7 @@ class STTranTransformer(nn.Module):
         for i in range(self.enc_layers):
             local = Enc(self.embed_dim, self.num_heads,
                         self.dim_feedforward, self.dropout,
-                        dtype=self.dtype,
+                        dtype=self.dtype, fused=self.fused,
                         name=f"enc_{i}")(local, allow_s, det)
         local = jnp.where(rel_mask[..., None], local, 0.0)
 
@@ -156,7 +157,8 @@ class STTranTransformer(nn.Module):
         dec = [(Dec if i < self.dec_layers - 1 or self.mode == "both"
                 else MaskedDecoderLayer)(
                     self.embed_dim, self.num_heads, self.dim_feedforward,
-                    self.dropout, dtype=self.dtype, name=f"dec_{i}")
+                    self.dropout, dtype=self.dtype, fused=self.fused,
+                    name=f"dec_{i}")
                for i in range(self.dec_layers)]
 
         def run_square(layers):
@@ -222,6 +224,7 @@ class STTran(nn.Module):
     transformer_fusion: str = "latter"
     dtype: Any = None  # compute dtype; None = float32
     remat: bool = False  # checkpoint the temporal stack (see STTranTransformer)
+    fused: bool = False  # Pallas fused masked attention (ops/pallas_attention)
     glove_obj36: np.ndarray | None = None  # (36, 200) for the classifier
     glove_obj37: np.ndarray | None = None  # (37, 200) for semantic embeds
 
@@ -278,7 +281,8 @@ class STTran(nn.Module):
         global_output = STTranTransformer(
             embed_dim=rel_features.shape[-1], enc_layers=self.enc_layer_num,
             dec_layers=self.dec_layer_num, mode=self.transformer_fusion,
-            dtype=self.dtype, remat=self.remat, name="glocal_transformer",
+            dtype=self.dtype, remat=self.remat, fused=self.fused,
+            name="glocal_transformer",
         )(rel_features, entry.im_idx, entry.rel_mask, entry.num_frames, train)
         global_output = global_output.astype(jnp.float32)  # heads in fp32
 

@@ -114,6 +114,9 @@ class Config:
     remat: bool = False  # rematerialize the temporal-transformer layers in
     # backward (jax.checkpoint): trades recompute FLOPs for activation
     # memory — enables bigger train batches/buckets per chip
+    fused_attention: bool = False  # route the relation transformers' masked
+    # attention through the Pallas fused kernel (ops/pallas_attention.py):
+    # probabilities stay in VMEM fwd+bwd; dropout uses the TPU PRNG stream
     prng_impl: str = "rbg"  # PRNG for training randomness (dropout / label
     # sampling): "rbg" is ~16% faster per train step on TPU than jax's
     # default threefry2x32 (measured: 120 -> 101 ms at batch 64); both are

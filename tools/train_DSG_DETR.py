@@ -33,7 +33,8 @@ def build_model(cfg, tax):
     return DSGDETR(mode=cfg.mode, obj_classes=tuple(tax.object_classes),
                    enc_layer_num=1, dec_layer_num=3,
                    feat_dim=cfg.feat_dim, glove_obj36=g36, glove_obj37=g37,
-                   dtype=compute_dtype(cfg), remat=cfg.remat)
+                   dtype=compute_dtype(cfg), remat=cfg.remat,
+                   fused=cfg.fused_attention)
 
 
 def main():

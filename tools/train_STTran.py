@@ -84,7 +84,8 @@ def build_model(cfg, tax):
     return STTran(mode=cfg.mode, obj_classes=tuple(tax.object_classes),
                   enc_layer_num=cfg.enc_layer, dec_layer_num=cfg.dec_layer,
                   feat_dim=cfg.feat_dim, glove_obj36=g36, glove_obj37=g37,
-                  dtype=compute_dtype(cfg), remat=cfg.remat)
+                  dtype=compute_dtype(cfg), remat=cfg.remat,
+                  fused=cfg.fused_attention)
 
 
 def make_union_provider(cfg, logger):
