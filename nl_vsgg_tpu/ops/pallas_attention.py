@@ -56,8 +56,9 @@ def _keep_mask(seed, h, rate, shape):
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
                 *, scale, rate, det):
     h = pl.program_id(0)
-    q = q_ref[:, 0, :]
-    k = k_ref[:, 0, :]
+    seed = seed_ref[0, 0]
+    q = q_ref[0]
+    k = k_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale + bias_ref[:]
@@ -66,32 +67,34 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
     e = jnp.exp(logits - mx)
     s = jnp.sum(e, axis=-1, keepdims=True)
     p = jnp.where(row_valid, e / s, 0.0)
-    lse_ref[0, :] = jnp.where(row_valid[:, 0], mx[:, 0] + jnp.log(s[:, 0]),
-                              NEG_INF)
+    lse_ref[0, 0, :] = jnp.where(row_valid[:, 0], mx[:, 0] + jnp.log(s[:, 0]),
+                                 NEG_INF)
     if rate > 0.0 and not det:
-        keep = _keep_mask(seed_ref[0], h, rate, p.shape)
+        keep = _keep_mask(seed, h, rate, p.shape)
         p = jnp.where(keep, p / (1.0 - rate), 0.0)
-    out = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[:, 0, :],
+    out = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    out_ref[:, 0, :] = out.astype(out_ref.dtype)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, rate, det):
     h = pl.program_id(0)
-    q = q_ref[:, 0, :]
-    k = k_ref[:, 0, :]
-    v = v_ref[:, 0, :]
-    g = g_ref[:, 0, :]
+    seed = seed_ref[0, 0]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale + bias_ref[:]
-    lse = lse_ref[0, :]
-    row_valid = (lse > _ROW_VALID)[:, None]
-    p = jnp.where(row_valid, jnp.exp(logits - lse[:, None]), 0.0)
+    lse = lse_ref[0, 0, :][:, None]  # minor-dim insert on fp32 (32-bit only
+    # reshapes lower on Mosaic; the bool comparison happens post-broadcast)
+    row_valid = lse > _ROW_VALID
+    p = jnp.where(row_valid, jnp.exp(logits - lse), 0.0)
     if rate > 0.0 and not det:
-        keep = _keep_mask(seed_ref[0], h, rate, p.shape)
+        keep = _keep_mask(seed, h, rate, p.shape)
         pt = jnp.where(keep, p / (1.0 - rate), 0.0)
     else:
         pt = p
@@ -112,13 +115,16 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, g_ref,
                              preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(dsc, q, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dq_ref[:, 0, :] = dq.astype(dq_ref.dtype)
-    dk_ref[:, 0, :] = dk.astype(dk_ref.dtype)
-    dv_ref[:, 0, :] = dv.astype(dv_ref.dtype)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _spec(L, Dp):
-    return pl.BlockSpec((L, 1, Dp), lambda h: (0, h, 0),
+    # head-major (H, L, Dp) layout: the per-head block (1, L, Dp) keeps the
+    # last two dims equal to the array's, which Mosaic requires when L is
+    # not sublane-aligned (the un-padded token counts rarely are)
+    return pl.BlockSpec((1, L, Dp), lambda h: (h, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -127,7 +133,11 @@ def _build(Lq, Lk, H, Dp, dtype_name, scale, rate, det, interpret):
     dtype = jnp.dtype(dtype_name)
     bias_spec = pl.BlockSpec((Lq, Lk), lambda h: (0, 0),
                              memory_space=pltpu.VMEM)
-    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # the seed rides VMEM as a (1, 128) lane-aligned row (not SMEM): under
+    # the train step's vmap the batching rule prepends a squeezed block dim,
+    # and only a full lane-aligned trailing plane passes Mosaic's block rule
+    seed_spec = pl.BlockSpec((1, 128), lambda h: (0, 0),
+                             memory_space=pltpu.VMEM)
 
     def fwd_call(q, k, v, bias, seed):
         return pl.pallas_call(
@@ -136,10 +146,10 @@ def _build(Lq, Lk, H, Dp, dtype_name, scale, rate, det, interpret):
             in_specs=[seed_spec, _spec(Lq, Dp), _spec(Lk, Dp), _spec(Lk, Dp),
                       bias_spec],
             out_specs=[_spec(Lq, Dp),
-                       pl.BlockSpec((1, Lq), lambda h: (h, 0),
+                       pl.BlockSpec((1, 1, Lq), lambda h: (h, 0, 0),
                                     memory_space=pltpu.VMEM)],
-            out_shape=[jax.ShapeDtypeStruct((Lq, H, Dp), dtype),
-                       jax.ShapeDtypeStruct((H, Lq), jnp.float32)],
+            out_shape=[jax.ShapeDtypeStruct((H, Lq, Dp), dtype),
+                       jax.ShapeDtypeStruct((H, 1, Lq), jnp.float32)],
             interpret=interpret,
         )(seed, q, k, v, bias)
 
@@ -149,13 +159,13 @@ def _build(Lq, Lk, H, Dp, dtype_name, scale, rate, det, interpret):
             grid=(H,),
             in_specs=[seed_spec, _spec(Lq, Dp), _spec(Lk, Dp), _spec(Lk, Dp),
                       bias_spec,
-                      pl.BlockSpec((1, Lq), lambda h: (h, 0),
+                      pl.BlockSpec((1, 1, Lq), lambda h: (h, 0, 0),
                                    memory_space=pltpu.VMEM),
                       _spec(Lq, Dp)],
             out_specs=[_spec(Lq, Dp), _spec(Lk, Dp), _spec(Lk, Dp)],
-            out_shape=[jax.ShapeDtypeStruct((Lq, H, Dp), dtype),
-                       jax.ShapeDtypeStruct((Lk, H, Dp), dtype),
-                       jax.ShapeDtypeStruct((Lk, H, Dp), dtype)],
+            out_shape=[jax.ShapeDtypeStruct((H, Lq, Dp), dtype),
+                       jax.ShapeDtypeStruct((H, Lk, Dp), dtype),
+                       jax.ShapeDtypeStruct((H, Lk, Dp), dtype)],
             interpret=interpret,
         )(seed, q, k, v, bias, lse, g)
 
@@ -184,7 +194,12 @@ def fused_masked_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      interpret: bool | None = None) -> jnp.ndarray:
     """q (Lq, H, Dp), k/v (Lk, H, Dp), bias (Lq, Lk) fp32 {0, NEG_INF},
     seed (1,) int32 -> (Lq, H, Dp). Dp % 128 == 0. Differentiable in
-    q/k/v; vmap adds the video batch axis."""
+    q/k/v; vmap adds the video batch axis.
+
+    Internally head-major (H, L, Dp): per-head blocks must span full
+    (L, Dp) planes (Mosaic's block-alignment rule for unaligned L). The
+    moveaxis sits OUTSIDE the custom VJP, so its transpose — a cheap
+    lane-aligned tile shuffle at Dp % 128 == 0 — is differentiated by XLA."""
     Lq, H, Dp = q.shape
     Lk = k.shape[0]
     assert Dp % 128 == 0, f"pad head dim to a lane multiple, got {Dp}"
@@ -192,4 +207,7 @@ def fused_masked_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret = jax.devices()[0].platform == "cpu"
     fn = _build(Lq, Lk, H, Dp, jnp.dtype(q.dtype).name, float(sm_scale),
                 float(dropout_rate), bool(deterministic), bool(interpret))
-    return fn(q, k, v, bias.astype(jnp.float32), seed.reshape(1))
+    hm = functools.partial(jnp.moveaxis, source=-2, destination=-3)
+    seed_row = jnp.broadcast_to(seed.reshape(1, 1), (1, 128)).astype(jnp.int32)
+    out = fn(hm(q), hm(k), hm(v), bias.astype(jnp.float32), seed_row)
+    return jnp.moveaxis(out, -3, -2)

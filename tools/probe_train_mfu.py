@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=8)
-    p.add_argument("--only", default=None)
+    p.add_argument("--only", default=None,
+                   help="comma-separated row names (A/B in one process)")
     args = p.parse_args()
 
     import jax
@@ -53,11 +54,13 @@ def main():
 
     key1 = jax.random.key(1, impl="rbg")
 
-    def bench_step(name, B, dtype=None, remat=False, kind="full"):
-        if args.only and args.only != name:
+    def bench_step(name, B, dtype=None, remat=False, kind="full",
+                   fused=False):
+        if args.only and name not in args.only.split(","):
             return
         batch, one = make_batch(B, dtype)
-        model = STTran(mode="sgdet", feat_dim=FEAT, dtype=dtype, remat=remat)
+        model = STTran(mode="sgdet", feat_dim=FEAT, dtype=dtype, remat=remat,
+                       fused=fused)
         tx = make_optimizer(lr=1e-5)
         state, tx = create_train_state(model, one, jax.random.key(0), tx=tx)
 
@@ -132,6 +135,8 @@ def main():
     bench_step("full_bf16_b16", 16, dtype=jnp.bfloat16)
     bench_step("full_bf16_b64", 64, dtype=jnp.bfloat16)
     bench_step("full_bf16_b64_remat", 64, dtype=jnp.bfloat16, remat=True)
+    bench_step("full_bf16_b64_fused", 64, dtype=jnp.bfloat16, fused=True)
+    bench_step("full_fp32_b64_fused", 64, fused=True)
     bench_step("grad_bf16_b16", 16, dtype=jnp.bfloat16, kind="grad")
     bench_step("fwd_train_bf16_b16", 16, dtype=jnp.bfloat16, kind="fwd")
     bench_step("full_fp32_b64", 64)
