@@ -85,7 +85,12 @@ def bench_ours(batch_videos: int = 64, dtype: str = "bfloat16") -> dict:
             union_feat=batch.union_feat.astype(jnp.bfloat16),
             spatial_masks=batch.spatial_masks.astype(jnp.bfloat16))
     model = STTran(mode="sgdet", feat_dim=FEAT_DIM,
-                   dtype=jnp.bfloat16 if dtype == "bfloat16" else None)
+                   dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
+                   # NL_VSGG_BENCH_FUSED=1: Pallas fused masked attention.
+                   # NB the HLO flop count excludes the Pallas dots, so the
+                   # implied-TFLOP/s / MFU columns undercount in fused mode;
+                   # frames/sec is the comparable figure.
+                   fused=os.environ.get("NL_VSGG_BENCH_FUSED", "") == "1")
     one = jax.tree.map(lambda x: x[0], batch)
     variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
                            one, train=False)
