@@ -1,0 +1,236 @@
+"""Multi-host (multi-controller) SPMD training support.
+
+The reference is strictly single-process, single-GPU (SURVEY.md §2.9: no
+DP/DDP, batch = one video). The single-process path here already
+data-parallelizes video batches over the local mesh (parallel/mesh.py);
+this module extends the SAME train step to multi-host meshes the TPU-native
+way — every process runs the same program:
+
+  * `init_distributed` wires `jax.distributed.initialize` from config/env,
+    after which `jax.devices()` is the GLOBAL device list and the existing
+    mesh/sharding rules apply unchanged (XLA collectives ride ICI within a
+    slice and DCN across slices; there is no hand-written comms layer).
+  * `DistributedBatcher` replaces the single-host bucket batcher: each
+    global batch is a FIXED block of the (seed-deterministic, identical on
+    every process) epoch order; each process grounds only its contiguous
+    block of videos and contributes them as the process-local shard of a
+    global `jax.Array` via `jax.make_array_from_process_local_data`.
+    Bucket shapes are agreed with one tiny int all-gather per batch (a
+    host-side collective over (boxes, rels) hints), so every process
+    compiles/executes the identical global step.
+  * Videos whose grounding fails (`wk_forward -> None`, the reference's
+    `entry == None` skip at tools/train_STTran.py:138) stay zero-filled
+    slots; the valid-weighted train step (train/step.py) already excludes
+    them from the loss/stat means, so skip handling needs NO cross-process
+    control flow.
+  * `merge_evaluators` all-gathers the host evaluator's per-video recall
+    lists after each process scored its shard of the test split, so the
+    reported R@K equals the single-process evaluation of the full split
+    (the means are order-independent).
+
+Single-process (jax.process_count() == 1) every helper degrades to a no-op
+or local equivalent, so the training tools call them unconditionally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Callable, Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.entry import Entry, empty_entry, pad_entry
+from .mesh import batch_sharding
+
+
+def init_distributed(cfg=None, logger=None) -> bool:
+    """Initialize JAX multi-controller mode if configured; returns True when
+    running multi-process.
+
+    Sources, in priority order:
+      1. cfg.coordinator_address / cfg.num_processes / cfg.process_id
+      2. env NL_VSGG_COORDINATOR / NL_VSSG_NUM_PROCESSES / NL_VSGG_PROCESS_ID
+      3. cfg.distributed=true with no explicit coordinator: bare
+         `jax.distributed.initialize()` (TPU pod auto-detection).
+
+    Must run before the first device use (jax.process_count()/jax.devices()
+    would otherwise lock in single-process mode — this function only touches
+    the backend when multi-process is actually requested); safe to call when
+    already initialized or when nothing is configured (returns the current
+    multi-process status).
+    """
+    coord = (getattr(cfg, "coordinator_address", "") or
+             os.environ.get("NL_VSGG_COORDINATOR", ""))
+    nproc = int(getattr(cfg, "num_processes", -1) if cfg is not None else -1)
+    if nproc < 0:
+        nproc = int(os.environ.get("NL_VSGG_NUM_PROCESSES", "-1"))
+    pid = int(getattr(cfg, "process_id", -1) if cfg is not None else -1)
+    if pid < 0:
+        pid = int(os.environ.get("NL_VSGG_PROCESS_ID", "-1"))
+    want = bool(getattr(cfg, "distributed", False)) or bool(coord)
+    if not want:
+        return jax.process_count() > 1
+    kw = {}
+    if coord:
+        kw = dict(coordinator_address=coord, num_processes=nproc, process_id=pid)
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError as e:  # double-init (e.g. tests calling twice)
+        if "already" not in str(e).lower():
+            raise
+    if logger is not None:
+        logger.info(f"distributed: process {jax.process_index()}/"
+                    f"{jax.process_count()}, "
+                    f"{jax.local_device_count()} local / "
+                    f"{jax.device_count()} global devices")
+    return jax.process_count() > 1
+
+
+def is_primary() -> bool:
+    """True on the process that should write logs/metrics/checkpoints."""
+    return jax.process_index() == 0
+
+
+def allgather_obj(obj) -> list:
+    """All-gather an arbitrary picklable host object; returns the list of
+    every process's object in process order. Single-process: [obj]."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    # lengths differ per process: agree on the max, pad, gather, trim
+    n = np.asarray([payload.size], np.int64)
+    sizes = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    buf = np.zeros(int(sizes.max()), np.uint8)
+    buf[:payload.size] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    return [pickle.loads(gathered[p, :int(sizes[p])].tobytes())
+            for p in range(jax.process_count())]
+
+
+def merge_evaluators(evaluator) -> None:
+    """Merge per-process SceneGraphEvaluator shards in place (all processes
+    end up with the full split's per-video lists, in process order)."""
+    state = (evaluator.recall, evaluator.recall_nogc, evaluator.semi_recall,
+             evaluator.mean_recall.collect, evaluator.ng_mean_recall.collect)
+    all_states = allgather_obj(state)
+    if len(all_states) == 1:
+        return
+    for tgt_i, tgt in enumerate((evaluator.recall, evaluator.recall_nogc,
+                                 evaluator.semi_recall)):
+        for k in tgt:
+            tgt[k] = [v for st in all_states for v in st[tgt_i][k]]
+    for tgt_i, coll in ((3, evaluator.mean_recall), (4, evaluator.ng_mean_recall)):
+        for k in coll.collect:
+            coll.collect[k] = [
+                [v for st in all_states for v in st[tgt_i][k][n]]
+                for n in range(coll.num_rel)]
+
+
+def _device_zeros(shape, dtype, sharding):
+    """Global all-zero array created ON device (no host->device transfer of
+    zero bytes — union_feat is ~95% of an Entry's bytes)."""
+    return jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sharding)()
+
+
+class DistributedBatcher:
+    """Fixed-composition global video batches for multi-controller training.
+
+    Single-host batching groups same-bucket Entries opportunistically
+    (data/pipeline.py bucket_batches) — that needs no coordination because
+    one process sees every video. Across processes the batch COMPOSITION
+    must be agreed, so batches are fixed blocks of the shared epoch order:
+    batch t = order[t*B : (t+1)*B], and process p grounds+owns the
+    contiguous sub-block of B/nproc videos that maps onto its local
+    devices' rows of the mesh's 'data' axis. One int all-gather per batch
+    agrees the padded bucket (max over members); failed/missing slots stay
+    zero (excluded from means by the valid-weighted train step).
+
+    `ground_fn(video_index) -> Entry | None` runs on worker threads.
+    Yields device-ready global Entry batches (leading axis B, sharded over
+    'data').
+    """
+
+    def __init__(self, ground_fn: Callable[[int], Entry | None],
+                 order: Sequence[int], batch_videos: int, mesh,
+                 feat_dim: int = 2048, zero_union: bool = False,
+                 rel_bf16: bool = False, num_workers: int = 4):
+        self.ground_fn = ground_fn
+        self.order = list(order)
+        self.B = batch_videos
+        self.mesh = mesh
+        self.feat_dim = feat_dim
+        self.zero_union = zero_union
+        self.rel_bf16 = rel_bf16
+        self.num_workers = max(1, num_workers)
+        self.nproc = jax.process_count()
+        self.pid = jax.process_index()
+        if self.B % self.nproc:
+            raise ValueError(
+                f"batch_videos={self.B} must be a multiple of the process "
+                f"count ({self.nproc}) so every process contributes the same "
+                f"number of videos per global batch")
+        data_axis = mesh.shape["data"]
+        if self.B % data_axis:
+            raise ValueError(
+                f"batch_videos={self.B} must be a multiple of the mesh data "
+                f"axis ({data_axis})")
+        self.per_proc = self.B // self.nproc
+
+    def _ground_block(self, ids: list[int]) -> list[Entry | None]:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            return list(ex.map(self.ground_fn, ids))
+
+    def __iter__(self) -> Iterator[Entry]:
+        from jax.experimental import multihost_utils
+
+        sh = batch_sharding(self.mesh)
+        big = jnp.bfloat16 if self.rel_bf16 else jnp.float32
+        for t0 in range(0, len(self.order), self.B):
+            chunk = self.order[t0:t0 + self.B]
+            if len(chunk) < self.B:  # drop the ragged tail: its composition
+                # would need a second set of compiled shapes per bucket; the
+                # epoch order reshuffles per epoch so no video is starved
+                return
+            mine = chunk[self.pid * self.per_proc:(self.pid + 1) * self.per_proc]
+            entries = self._ground_block(mine)
+            hints = np.zeros((self.per_proc, 2), np.int32)
+            for j, e in enumerate(entries):
+                if e is not None:
+                    hints[j] = (e.n_boxes, e.n_rels)
+            if self.nproc > 1:
+                all_hints = np.asarray(multihost_utils.process_allgather(hints))
+                all_hints = all_hints.reshape(-1, 2)
+            else:
+                all_hints = hints
+            if not all_hints.any():
+                continue  # nothing groundable anywhere this batch
+            bb = int(all_hints[:, 0].max())
+            br = int(all_hints[:, 1].max())
+            local = [pad_entry(e, bb, br) if e is not None
+                     else empty_entry(bb, br, self.feat_dim)
+                     for e in entries]
+            host = jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *local)
+            uf_shape = (self.B,) + tuple(np.shape(host.union_feat)[1:])
+
+            def to_global(name, arr):
+                arr = np.asarray(arr)
+                if self.zero_union and name == "union_feat":
+                    return None  # filled below, on device
+                if self.rel_bf16 and name in ("union_feat", "spatial_masks"):
+                    arr = arr.astype(jnp.bfloat16)
+                gshape = (self.B,) + arr.shape[1:]
+                return jax.make_array_from_process_local_data(sh, arr, gshape)
+
+            kw = {f.name: to_global(f.name, getattr(host, f.name))
+                  for f in dataclasses.fields(Entry)}
+            if self.zero_union:
+                kw["union_feat"] = _device_zeros(uf_shape, big, sh)
+            yield Entry(**kw)

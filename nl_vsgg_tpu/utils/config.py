@@ -117,6 +117,16 @@ class Config:
     fused_attention: bool = False  # route the relation transformers' masked
     # attention through the Pallas fused kernel (ops/pallas_attention.py):
     # probabilities stay in VMEM fwd+bwd; dropout uses the TPU PRNG stream
+    distributed: bool = False  # multi-host (multi-controller) training:
+    # jax.distributed.initialize before device use; with no explicit
+    # coordinator this relies on TPU-pod auto-detection. See
+    # parallel/distributed.py.
+    coordinator_address: str = ""  # host:port of process 0 (or env
+    # NL_VSGG_COORDINATOR); setting it implies distributed=true
+    num_processes: int = -1  # total processes (-1: env NL_VSGG_NUM_PROCESSES
+    # or auto)
+    process_id: int = -1  # this process's rank (-1: env NL_VSGG_PROCESS_ID
+    # or auto)
     prng_impl: str = "rbg"  # PRNG for training randomness (dropout / label
     # sampling): "rbg" is ~16% faster per train step on TPU than jax's
     # default threefry2x32 (measured: 120 -> 101 ms at batch 64); both are

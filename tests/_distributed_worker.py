@@ -1,0 +1,117 @@
+"""Subprocess worker for tests/test_distributed.py.
+
+Runs one process of an N-process jax.distributed job on the CPU backend
+(Gloo collectives over localhost) and writes its result as JSON. Modes:
+
+  gather <out.json>  — allgather_obj + merge_evaluators round-trip
+  train <out.json>   — DistributedBatcher + the real train step over a
+                       4-device global mesh; prints losses + param digest
+                       (compared against a single-process 4-device run of
+                       the same harness — the SPMD program is identical, so
+                       results must match to float tolerance)
+
+Process topology comes from NL_VSGG_COORDINATOR / NL_VSGG_NUM_PROCESSES /
+NL_VSGG_PROCESS_ID (the same env contract tools/train_STTran.py uses) and
+XLA_FLAGS --xla_force_host_platform_device_count for local device count.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("NL_VSGG_NO_JAX_CACHE"):
+    _cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            os.path.expanduser("~/.cache/nl_vsgg_jax"))
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from nl_vsgg_tpu.parallel.distributed import (DistributedBatcher,  # noqa: E402
+                                              allgather_obj, init_distributed,
+                                              merge_evaluators)
+
+
+def mode_gather(out_path: str) -> None:
+    pid = jax.process_index()
+    objs = allgather_obj({"pid": pid, "payload": list(range(pid + 1))})
+
+    # merge_evaluators: each process scores a disjoint fake shard
+    from nl_vsgg_tpu.eval import SceneGraphEvaluator
+    ev = SceneGraphEvaluator(mode="sgdet")
+    for k in ev.recall:
+        ev.recall[k] = [0.25 * (pid + 1)] * 2
+        ev.recall_nogc[k] = [0.5 * (pid + 1)]
+        ev.semi_recall[k] = [0.125]
+    ev.mean_recall.collect[20][3] = [1.0 * (pid + 1)]
+    merge_evaluators(ev)
+    json.dump({
+        "pid": pid,
+        "nproc": jax.process_count(),
+        "gathered": objs,
+        "recall20": ev.recall[20],
+        "nogc20": ev.recall_nogc[20],
+        "mr_collect": ev.mean_recall.collect[20][3],
+        "mean_r20": ev.mean_score(20),
+    }, open(out_path, "w"))
+
+
+def _entries():
+    from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
+    es = []
+    for i in range(4):
+        r = np.random.default_rng(100 + i)
+        # two different buckets to exercise the cross-process bucket agreement
+        bb = 16 if i % 2 == 0 else 32
+        es.append(make_synthetic_entry(r, n_frames=3, objs_per_frame=2,
+                                       bucket_boxes=bb, bucket_rels=bb,
+                                       feat_dim=32))
+    return es
+
+
+def mode_train(out_path: str) -> None:
+    import jax.numpy as jnp
+    from nl_vsgg_tpu.models.sttran import STTran
+    from nl_vsgg_tpu.parallel.mesh import make_mesh, shard_state
+    from nl_vsgg_tpu.train import (create_train_state, make_optimizer,
+                                   make_train_step)
+
+    entries = _entries()
+    # slot 3 fails grounding: it must become an inert zero slot everywhere
+    ground = lambda i: None if i == 3 else entries[i]
+
+    mesh = make_mesh(data=jax.device_count(), model=1)
+    model = STTran(mode="sgdet", feat_dim=32, enc_layer_num=1, dec_layer_num=1)
+    tx = make_optimizer(lr=1e-3)
+    state, tx = create_train_state(model, entries[0], jax.random.key(0), tx=tx)
+    state = shard_state(mesh, state)
+    step = jax.jit(make_train_step(model, tx, bce=True))
+
+    batcher = DistributedBatcher(ground, [0, 1, 2, 3], 4, mesh, feat_dim=32)
+    losses = []
+    for t, batch in enumerate(batcher):
+        state, m = step(state, batch, jax.random.key(7 + t))
+        losses.append(float(m["total"]))
+
+    digest = float(jax.jit(lambda p: jax.tree.reduce(
+        lambda a, x: a + jnp.abs(x.astype(jnp.float32)).sum(), p,
+        jnp.zeros(())))(state.params))
+    json.dump({"pid": jax.process_index(), "nproc": jax.process_count(),
+               "losses": losses, "digest": digest}, open(out_path, "w"))
+
+
+def main():
+    init_distributed()
+    mode, out_path = sys.argv[1], sys.argv[2]
+    {"gather": mode_gather, "train": mode_train}[mode](out_path)
+
+
+if __name__ == "__main__":
+    main()

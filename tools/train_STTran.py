@@ -160,7 +160,8 @@ def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
 
 
 def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
-                   evaluator=None, device_recalls=None, zero_union=False):
+                   evaluator=None, device_recalls=None, zero_union=False,
+                   indices=None):
     """Streaming evaluation over the test split (train_STTran.py:210-232).
 
     Entries are grounded by the prefetcher, grouped into at most ONE pending
@@ -168,12 +169,15 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
     independent of the split size (round 1 held every padded Entry, ~90 GB at
     real AG scale). Pass a list as `device_recalls` (or set cfg.device_eval)
     to also score R@K with the on-device scorers (eval/recall_jax.py); the
-    host evaluator remains the reported source of truth.
+    host evaluator remains the reported source of truth. `indices` restricts
+    the videos scored (multi-host: each process scores its shard, then
+    parallel.distributed.merge_evaluators combines them).
     """
     if evaluator is None:
         evaluator = SceneGraphEvaluator(mode=cfg.mode, taxonomy=tax)
-    prefetcher = GroundingPrefetcher(get_entry, list(range(n_test)),
-                                     num_workers=cfg.num_workers)
+    prefetcher = GroundingPrefetcher(
+        get_entry, list(range(n_test)) if indices is None else list(indices),
+        num_workers=cfg.num_workers)
     from nl_vsgg_tpu.data import bucket_events
     for kind, payload in bucket_events(iter(prefetcher), cfg.batch_videos):
         if kind == "skip":
@@ -193,6 +197,16 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
     return evaluator
 
 
+class _NullMetrics:
+    """Metric sink for non-primary processes (one metrics.jsonl per run)."""
+
+    def write(self, step, **scalars):
+        pass
+
+    def close(self):
+        pass
+
+
 def run_training(cfg, args, build_model_fn):
     """The shared training loop (STTran and DSG-DETR differ only in the model
     builder — the reference duplicates the whole file, tools/train_DSG_DETR.py)."""
@@ -205,11 +219,25 @@ def run_training(cfg, args, build_model_fn):
         raise ValueError("is_wks=false sgdet training is not a shipped "
                          "NL-VSGG recipe; see models/sgdet_infer for the "
                          "non-wks inference path")
-    logger = setup_logger(save_dir=cfg.save_path)
+    # multi-host: must run before the first device use (parallel/distributed)
+    from nl_vsgg_tpu.parallel.distributed import (DistributedBatcher,
+                                                  init_distributed, is_primary,
+                                                  merge_evaluators)
+    multiproc = init_distributed(cfg)
+    primary = is_primary()
+    logger = setup_logger(save_dir=cfg.save_path if primary else None)
+    if multiproc:
+        logger.info(f"distributed: process {jax.process_index()}/"
+                    f"{jax.process_count()}, {jax.local_device_count()} local "
+                    f"/ {jax.device_count()} global devices")
+        if not primary:
+            import logging as _logging  # one console log stream, not N
+            logger.setLevel(_logging.WARNING)
     os.makedirs(cfg.save_path, exist_ok=True)
-    with open(os.path.join(cfg.save_path, "configs.json"), "w") as f:
-        f.write(cfg.to_json())
-    metrics = MetricWriter(cfg.save_path)
+    if primary:
+        with open(os.path.join(cfg.save_path, "configs.json"), "w") as f:
+            f.write(cfg.to_json())
+    metrics = MetricWriter(cfg.save_path) if primary else _NullMetrics()
     tax = schema.load_taxonomy()
 
     logger.info("loading datasets")
@@ -315,22 +343,42 @@ def run_training(cfg, args, build_model_fn):
         n_seen = 0
 
         # grounding runs on worker threads, overlapping device compute
-        prefetcher = GroundingPrefetcher(
-            lambda idx: ground(ds_train, idx, True),
-            order.tolist(), num_workers=cfg.num_workers)
+        if multiproc:
+            # fixed-composition global batches: every process grounds its
+            # contiguous block of each batch and contributes it as the
+            # process-local shard of one global Entry (parallel/distributed)
+            def batch_iter():
+                for b in DistributedBatcher(
+                        lambda idx: ground(ds_train, int(idx), True),
+                        order.tolist(), cfg.batch_videos, mesh,
+                        feat_dim=cfg.feat_dim,
+                        zero_union=union_provider is None,
+                        rel_bf16=cfg.dtype == "bfloat16",
+                        num_workers=cfg.num_workers):
+                    yield cfg.batch_videos, b
+        else:
+            def batch_iter():
+                prefetcher = GroundingPrefetcher(
+                    lambda idx: ground(ds_train, idx, True),
+                    order.tolist(), num_workers=cfg.num_workers)
+                for bucket_entries in bucket_batches(iter(prefetcher),
+                                                     cfg.batch_videos):
+                    with timer("batch_build"):
+                        # with no union provider, union_feat is all-zeros:
+                        # build it on device instead of uploading ~38 MB/video
+                        # of zeros; bf16 models take union_feat/spatial_masks
+                        # pre-cast (the model's own cast, moved off the step's
+                        # HBM hot path)
+                        batch = place_entries(bucket_entries,
+                                              zero_union=union_provider is None,
+                                              rel_bf16=cfg.dtype == "bfloat16")
+                        batch = place_batch(batch)
+                    yield len(bucket_entries), batch
         profiling = False
-        for bucket_entries in bucket_batches(iter(prefetcher), cfg.batch_videos):
-            n_seen += len(bucket_entries)
-            with timer("batch_build"):
-                # with no union provider, union_feat is all-zeros: build it
-                # on device instead of uploading ~38 MB/video of zeros;
-                # bf16 models take union_feat/spatial_masks pre-cast (the
-                # model's own cast, moved off the step's HBM hot path)
-                batch = place_entries(bucket_entries,
-                                      zero_union=union_provider is None,
-                                      rel_bf16=cfg.dtype == "bfloat16")
-                batch = place_batch(batch)
-            if cfg.profile_steps and epoch == start_epoch and global_step == 2:
+        for n_batch, batch in batch_iter():
+            n_seen += n_batch
+            if cfg.profile_steps and primary and epoch == start_epoch \
+                    and global_step == 2:
                 try:  # on-demand XProf trace (SURVEY.md §5: reference has none)
                     jax.profiler.start_trace(os.path.join(cfg.save_path, "trace"))
                     profiling = True
@@ -363,15 +411,35 @@ def run_training(cfg, args, build_model_fn):
                     f"({n_seen} videos, skipped {int(state.skipped)})")
         logger.info("host phases:\n" + timer.summary())
         save_checkpoint(os.path.join(cfg.save_path, "ckpt"), epoch, state,
-                        config_json=cfg.to_json())
+                        config_json=cfg.to_json() if primary else None)
 
         # ---- per-epoch evaluation (train_STTran.py:210-232), streamed ----
         device_recalls = [] if cfg.device_eval else None
+        if multiproc:
+            # each process scores its strided shard of the test split with a
+            # LOCAL copy of the (replicated-to-host) weights, then the
+            # per-video recall lists are all-gathered — identical means to a
+            # single-process evaluation of the full split
+            from jax.experimental import multihost_utils
+            # tiled=True: for global (non-fully-addressable) arrays this
+            # materializes the full value on every host, shape unchanged
+            host_vars = multihost_utils.process_allgather(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                tiled=True)
+            local_eval = jax.jit(lambda v, b: jax.vmap(
+                lambda e: model.apply(v, e, train=False))(b))
+            ev_step = lambda _state, b: local_eval(host_vars, b)
+            my_idx = list(range(jax.process_index(), n_test, jax.process_count()))
+        else:
+            ev_step, my_idx = eval_step, None
         evaluator = evaluate_epoch(cfg, tax, ds_test, n_test,
                                    lambda i: ground(ds_test, i, False),
-                                   eval_step, state,
+                                   ev_step, state,
                                    device_recalls=device_recalls,
-                                   zero_union=union_provider is None)
+                                   zero_union=union_provider is None,
+                                   indices=my_idx)
+        if multiproc:
+            merge_evaluators(evaluator)
         if device_recalls:
             for name in ("recall", "recall_nogc", "semi"):
                 r = np.concatenate([d[name] for d in device_recalls])
