@@ -297,11 +297,17 @@ class MaskedBatchNorm(nn.Module):
             count = jnp.maximum(
                 jnp.broadcast_to(m, x.shape[:-1] + (1,)).sum(), 1.0)
             red = tuple(range(x.ndim - 1))
-            # two-pass mean/var in fp32 (golden vs torch). NOTE: a one-pass
-            # E[x^2]-E[x]^2 via variadic lax.reduce was tried to avoid the
-            # materialized fp32 upcast — its autodiff rules emit
-            # reshape/slice/add_any chains that cost 4x the upcast
-            # (measured, tools/probe_trace.py); don't.
+            # two-pass mean/var in fp32 (golden vs torch). Measured dead
+            # ends (don't retry): (1) one-pass E[x^2]-E[x]^2 via variadic
+            # lax.reduce — its autodiff rules emit reshape/slice/add_any
+            # chains costing 4x the upcast (tools/probe_trace.py); (2) for
+            # bf16 inputs, an MXU Gram pass over [x*m | m] (exact fp32
+            # accumulation of bf16 products, count/sum/sumsq in one dot) —
+            # the concat materializes a second copy of x, C+1=129 pads a
+            # full extra lane tile, and the Gram's backward matmul costs
+            # more than the saved fp32 upcast: 82.0 -> 95.1 ms on the b64
+            # bf16 train step (tools/bench_suite.py --only train_step_bf16,
+            # same-session A/B).
             xf = x.astype(jnp.float32)
             mean = (xf * m).sum(axis=red) / count
             var = (((xf - mean) ** 2) * m).sum(axis=red) / count  # biased
