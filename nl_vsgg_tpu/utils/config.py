@@ -182,18 +182,39 @@ def load_config(path: str | None = None, overrides: dict[str, Any] | None = None
     """
     cfg = Config()
     merged: dict[str, Any] = {}
+
+    def coerce_nested(k, v):
+        """buckets/mesh from YAML mappings (e.g. tools/tune_buckets.py output):
+        buckets: {max_boxes: [32, 64], ...} / mesh: {data: -1, model: 2}."""
+        cls = {"buckets": BucketConfig, "mesh": MeshConfig}[k]
+        if isinstance(v, cls):
+            return v
+        if not isinstance(v, dict):
+            raise ValueError(f"config key {k} expects a mapping, got {v!r}")
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        unknown = set(v) - set(fields)
+        if unknown:
+            raise ValueError(f"unknown {k} keys: {sorted(unknown)}")
+        # bucket lists sorted ascending: pick_bucket takes the first fit
+        kw = {kk: tuple(sorted(int(x) for x in vv))
+              if isinstance(vv, (list, tuple)) else int(vv)
+              for kk, vv in v.items()}
+        return cls(**kw)
+
     if path:
         with open(path) as f:
             raw = yaml.safe_load(f) or {}
         for k, v in raw.items():
-            if hasattr(cfg, k):
+            if k in ("buckets", "mesh"):
+                merged[k] = coerce_nested(k, v)
+            elif hasattr(cfg, k):
                 merged[k] = _coerce(getattr(cfg, k), v, k)
     if overrides:
         for k, v in overrides.items():
             if not hasattr(cfg, k):
                 raise KeyError(f"unknown config key: {k}")
             if k in ("buckets", "mesh"):
-                merged[k] = v
+                merged[k] = coerce_nested(k, v)
             else:
                 merged[k] = _coerce(getattr(cfg, k), v, k)
     return cfg.replace(**merged)
