@@ -35,6 +35,7 @@ or local equivalent, so the training tools call them unconditionally.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import pickle
 from typing import Callable, Iterator, Sequence
@@ -53,7 +54,7 @@ def init_distributed(cfg=None, logger=None) -> bool:
 
     Sources, in priority order:
       1. cfg.coordinator_address / cfg.num_processes / cfg.process_id
-      2. env NL_VSGG_COORDINATOR / NL_VSSG_NUM_PROCESSES / NL_VSGG_PROCESS_ID
+      2. env NL_VSGG_COORDINATOR / NL_VSGG_NUM_PROCESSES / NL_VSGG_PROCESS_ID
       3. cfg.distributed=true with no explicit coordinator: bare
          `jax.distributed.initialize()` (TPU pod auto-detection).
 
@@ -76,11 +77,19 @@ def init_distributed(cfg=None, logger=None) -> bool:
         return jax.process_count() > 1
     kw = {}
     if coord:
-        kw = dict(coordinator_address=coord, num_processes=nproc, process_id=pid)
+        kw["coordinator_address"] = coord
+        # -1 sentinels mean "auto": jax.distributed rejects negative values,
+        # but omitting them triggers its cluster auto-detection
+        if nproc >= 0:
+            kw["num_processes"] = nproc
+        if pid >= 0:
+            kw["process_id"] = pid
     try:
         jax.distributed.initialize(**kw)
-    except RuntimeError as e:  # double-init (e.g. tests calling twice)
-        if "already" not in str(e).lower():
+    except RuntimeError as e:  # double-init (e.g. tests calling twice):
+        # jax 0.9 raises "distributed.initialize should only be called once"
+        msg = str(e).lower()
+        if "already" not in msg and "only be called once" not in msg:
             raise
     if logger is not None:
         logger.info(f"distributed: process {jax.process_index()}/"
@@ -132,10 +141,17 @@ def merge_evaluators(evaluator) -> None:
                 for n in range(coll.num_rel)]
 
 
+@functools.lru_cache(maxsize=64)
+def _zeros_fn(shape, dtype, sharding):
+    """Compiled global-zeros builder, cached per (bucket shape, dtype,
+    sharding) so repeat batches skip re-tracing."""
+    return jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sharding)
+
+
 def _device_zeros(shape, dtype, sharding):
     """Global all-zero array created ON device (no host->device transfer of
     zero bytes — union_feat is ~95% of an Entry's bytes)."""
-    return jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sharding)()
+    return _zeros_fn(tuple(shape), np.dtype(dtype), sharding)()
 
 
 class DistributedBatcher:
@@ -182,55 +198,72 @@ class DistributedBatcher:
                 f"axis ({data_axis})")
         self.per_proc = self.B // self.nproc
 
-    def _ground_block(self, ids: list[int]) -> list[Entry | None]:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-            return list(ex.map(self.ground_fn, ids))
-
     def __iter__(self) -> Iterator[Entry]:
+        from concurrent.futures import ThreadPoolExecutor
+
         from jax.experimental import multihost_utils
 
         sh = batch_sharding(self.mesh)
         big = jnp.bfloat16 if self.rel_bf16 else jnp.float32
+        # Fixed blocks up front; the ragged tail (< B videos) is dropped: its
+        # composition would need a second set of compiled shapes per bucket,
+        # and the epoch order reshuffles per epoch so no video is starved.
+        blocks = []
         for t0 in range(0, len(self.order), self.B):
             chunk = self.order[t0:t0 + self.B]
-            if len(chunk) < self.B:  # drop the ragged tail: its composition
-                # would need a second set of compiled shapes per bucket; the
-                # epoch order reshuffles per epoch so no video is starved
-                return
-            mine = chunk[self.pid * self.per_proc:(self.pid + 1) * self.per_proc]
-            entries = self._ground_block(mine)
-            hints = np.zeros((self.per_proc, 2), np.int32)
-            for j, e in enumerate(entries):
-                if e is not None:
-                    hints[j] = (e.n_boxes, e.n_rels)
-            if self.nproc > 1:
-                all_hints = np.asarray(multihost_utils.process_allgather(hints))
-                all_hints = all_hints.reshape(-1, 2)
-            else:
-                all_hints = hints
-            if not all_hints.any():
-                continue  # nothing groundable anywhere this batch
-            bb = int(all_hints[:, 0].max())
-            br = int(all_hints[:, 1].max())
-            local = [pad_entry(e, bb, br) if e is not None
-                     else empty_entry(bb, br, self.feat_dim)
-                     for e in entries]
-            host = jax.tree.map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs]), *local)
-            uf_shape = (self.B,) + tuple(np.shape(host.union_feat)[1:])
+            if len(chunk) == self.B:
+                blocks.append(
+                    chunk[self.pid * self.per_proc:(self.pid + 1) * self.per_proc])
 
-            def to_global(name, arr):
-                arr = np.asarray(arr)
-                if self.zero_union and name == "union_feat":
-                    return None  # filled below, on device
-                if self.rel_bf16 and name in ("union_feat", "spatial_masks"):
-                    arr = arr.astype(jnp.bfloat16)
-                gshape = (self.B,) + arr.shape[1:]
-                return jax.make_array_from_process_local_data(sh, arr, gshape)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            pending = None
+            for t, mine in enumerate(blocks):
+                futs = pending or [ex.submit(self.ground_fn, i) for i in mine]
+                # overlap: block t+1 grounds on the pool while block t is
+                # assembled here and stepped by the caller (the single-host
+                # GroundingPrefetcher's overlap, kept under the fixed
+                # composition the cross-process agreement needs)
+                pending = ([ex.submit(self.ground_fn, i) for i in blocks[t + 1]]
+                           if t + 1 < len(blocks) else None)
+                entries = [f.result() for f in futs]
+                hints = np.zeros((self.per_proc, 2), np.int32)
+                for j, e in enumerate(entries):
+                    if e is not None:
+                        hints[j] = (e.n_boxes, e.n_rels)
+                if self.nproc > 1:
+                    all_hints = np.asarray(
+                        multihost_utils.process_allgather(hints)).reshape(-1, 2)
+                else:
+                    all_hints = hints
+                if not all_hints.any():
+                    continue  # nothing groundable anywhere this batch
+                bb = int(all_hints[:, 0].max())
+                br = int(all_hints[:, 1].max())
+                local = [pad_entry(e, bb, br) if e is not None
+                         else empty_entry(bb, br, self.feat_dim)
+                         for e in entries]
+                uf_shape = (self.B,) + tuple(np.shape(local[0].union_feat))
+                if self.zero_union:
+                    # swap the all-zero union features for a (1,) placeholder
+                    # BEFORE stacking (~38 MB/video of zeros otherwise copied
+                    # host-side only to be discarded; same trick as
+                    # train/step.py place_entries) — rebuilt on device below
+                    ph = np.zeros((1,), np.float32)
+                    local = [e.replace(union_feat=ph) for e in local]
+                host = jax.tree.map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]), *local)
 
-            kw = {f.name: to_global(f.name, getattr(host, f.name))
-                  for f in dataclasses.fields(Entry)}
-            if self.zero_union:
-                kw["union_feat"] = _device_zeros(uf_shape, big, sh)
-            yield Entry(**kw)
+                def to_global(name, arr):
+                    arr = np.asarray(arr)
+                    if self.zero_union and name == "union_feat":
+                        return None  # filled below, on device
+                    if self.rel_bf16 and name in ("union_feat", "spatial_masks"):
+                        arr = arr.astype(jnp.bfloat16)
+                    gshape = (self.B,) + arr.shape[1:]
+                    return jax.make_array_from_process_local_data(sh, arr, gshape)
+
+                kw = {f.name: to_global(f.name, getattr(host, f.name))
+                      for f in dataclasses.fields(Entry)}
+                if self.zero_union:
+                    kw["union_feat"] = _device_zeros(uf_shape, big, sh)
+                yield Entry(**kw)

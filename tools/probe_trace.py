@@ -67,6 +67,9 @@ def main():
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--b", type=int, default=64)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--eval", action="store_true",
+                   help="trace the inference forward (the bench headline) "
+                        "instead of the train step")
     p.add_argument("--logdir", default=None)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--parse_only", default=None,
@@ -95,8 +98,35 @@ def main():
                    dtype=None if args.fp32 else jnp.bfloat16)
     tx = make_optimizer(lr=1e-5)
     state, tx = create_train_state(model, entries[0], jax.random.key(0), tx=tx)
-    step = jax.jit(make_train_step(model, tx, bce=True))
     key = jax.random.key(1, impl="rbg")
+
+    if args.eval:
+        if not args.fp32:
+            batch = batch.replace(
+                union_feat=batch.union_feat.astype(jnp.bfloat16),
+                spatial_masks=batch.spatial_masks.astype(jnp.bfloat16))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        @jax.jit
+        def fwd(v, b):
+            out = jax.vmap(lambda e: model.apply(v, e, train=False))(b)
+            return (jnp.sum(out["attention_distribution"])
+                    + jnp.sum(out["spatial_logits"])
+                    + jnp.sum(out["contacting_logits"])
+                    + jnp.sum(out["distribution"]))
+
+        float(fwd(variables, batch))  # compile outside the trace
+        logdir = args.logdir or tempfile.mkdtemp(prefix="nlvsgg_trace_")
+        print(f"# tracing {args.steps} inference calls -> {logdir}", flush=True)
+        with jax.profiler.trace(logdir):
+            acc = 0.0
+            for _ in range(args.steps):
+                acc += float(fwd(variables, batch))  # fetch = completion
+        parse_xplane(logdir, args.top)
+        print(f"# logdir kept: {logdir}")
+        return
+
+    step = jax.jit(make_train_step(model, tx, bce=True))
 
     # compile + settle outside the trace
     state, metrics = step(state, batch, key)

@@ -221,6 +221,7 @@ def run_training(cfg, args, build_model_fn):
                          "non-wks inference path")
     # multi-host: must run before the first device use (parallel/distributed)
     from nl_vsgg_tpu.parallel.distributed import (DistributedBatcher,
+                                                  allgather_obj,
                                                   init_distributed, is_primary,
                                                   merge_evaluators)
     multiproc = init_distributed(cfg)
@@ -288,6 +289,11 @@ def run_training(cfg, args, build_model_fn):
     train_step = jax.jit(make_train_step(model, tx, bce=cfg.bce_loss),
                          donate_argnums=(0,))  # reuse state buffers in-place
     eval_step = jax.jit(make_eval_step(model))
+    if multiproc:
+        # per-process local eval over replicated host weights (jitted ONCE;
+        # the weights are re-gathered and device_put per epoch)
+        local_eval = jax.jit(lambda v, b: jax.vmap(
+            lambda e: model.apply(v, e, train=False))(b))
     scheduler = PlateauScheduler(cfg.lr)
 
     # multi-device: shard the video batch over the mesh 'data' axis, params
@@ -422,12 +428,11 @@ def run_training(cfg, args, build_model_fn):
             # single-process evaluation of the full split
             from jax.experimental import multihost_utils
             # tiled=True: for global (non-fully-addressable) arrays this
-            # materializes the full value on every host, shape unchanged
-            host_vars = multihost_utils.process_allgather(
+            # materializes the full value on every host, shape unchanged;
+            # device_put ONCE so eval batches don't each re-upload the model
+            host_vars = jax.device_put(multihost_utils.process_allgather(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                tiled=True)
-            local_eval = jax.jit(lambda v, b: jax.vmap(
-                lambda e: model.apply(v, e, train=False))(b))
+                tiled=True))
             ev_step = lambda _state, b: local_eval(host_vars, b)
             my_idx = list(range(jax.process_index(), n_test, jax.process_count()))
         else:
@@ -440,6 +445,11 @@ def run_training(cfg, args, build_model_fn):
                                    indices=my_idx)
         if multiproc:
             merge_evaluators(evaluator)
+            if device_recalls is not None:
+                # merge the auxiliary on-device R@K shards too, so the log
+                # covers the full split like the host evaluator does
+                device_recalls = [d for shard in allgather_obj(device_recalls)
+                                  for d in shard]
         if device_recalls:
             for name in ("recall", "recall_nogc", "semi"):
                 r = np.concatenate([d[name] for d in device_recalls])
