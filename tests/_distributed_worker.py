@@ -87,7 +87,10 @@ def mode_train(out_path: str) -> None:
     # slot 3 fails grounding: it must become an inert zero slot everywhere
     ground = lambda i: None if i == 3 else entries[i]
 
-    mesh = make_mesh(data=jax.device_count(), model=1)
+    # NL_VSGG_TEST_MODEL_PAR=2 exercises wide-kernel model sharding across
+    # process boundaries on top of the data-parallel batch
+    model_par = int(os.environ.get("NL_VSGG_TEST_MODEL_PAR", "1"))
+    mesh = make_mesh(data=jax.device_count() // model_par, model=model_par)
     model = STTran(mode="sgdet", feat_dim=32, enc_layer_num=1, dec_layer_num=1)
     tx = make_optimizer(lr=1e-3)
     state, tx = create_train_state(model, entries[0], jax.random.key(0), tx=tx)

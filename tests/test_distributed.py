@@ -32,7 +32,7 @@ def _free_port() -> int:
 
 
 def _run_job(mode: str, tmp_path, nproc: int, devices_per_proc: int,
-             timeout: int = 600) -> list[dict]:
+             timeout: int = 600, extra_env: dict | None = None) -> list[dict]:
     """Launch `nproc` worker processes; return their JSON results by rank."""
     port = _free_port()
     procs, outs = [], []
@@ -43,6 +43,7 @@ def _run_job(mode: str, tmp_path, nproc: int, devices_per_proc: int,
         env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
                             f"{devices_per_proc}")
         env["JAX_PLATFORMS"] = "cpu"
+        env.update(extra_env or {})
         if nproc > 1:
             env["NL_VSGG_COORDINATOR"] = f"127.0.0.1:{port}"
             env["NL_VSGG_NUM_PROCESSES"] = str(nproc)
@@ -190,6 +191,24 @@ def test_two_process_train_step_matches_single(tmp_path):
     assert single["losses"], "no batches ran"
     for r in double:
         assert r["nproc"] == 2
+        np.testing.assert_allclose(r["losses"], single["losses"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(r["digest"], single["digest"],
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_model_parallel_matches_single(tmp_path):
+    """Same cross-controller parity on a (data=2, model=2) mesh: wide Dense
+    kernels shard over 'model' across the process boundary, the video batch
+    over 'data' — both against the single-process run of the same mesh."""
+    env = {"NL_VSGG_TEST_MODEL_PAR": "2"}
+    single = _run_job("train", tmp_path, nproc=1, devices_per_proc=4,
+                      extra_env=env)[0]
+    double = _run_job("train", tmp_path, nproc=2, devices_per_proc=2,
+                      extra_env=env)
+    assert single["losses"], "no batches ran"
+    for r in double:
         np.testing.assert_allclose(r["losses"], single["losses"],
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(r["digest"], single["digest"],
