@@ -69,7 +69,10 @@ def main():
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--eval", action="store_true",
                    help="trace the inference forward (the bench headline) "
-                        "instead of the train step")
+                        "instead of the train step. NB each call ends in a "
+                        "host fetch, so IDLE reflects the tunnel round trip "
+                        "between calls — read op SHARES of non-IDLE time "
+                        "(the bench's chained fori_loop has no such gaps)")
     p.add_argument("--logdir", default=None)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--parse_only", default=None,
