@@ -100,7 +100,8 @@ class AGTrain:
     def __init__(self, data_path: str, pseudo_label_path: str | None = None,
                  img_info_path: str | None = None, frame_list_path: str | None = None,
                  assets_dir: str | None = None, remove_one_frame_video: bool = True,
-                 auto_download: bool = False, fetch_fn=None, logger=None):
+                 auto_download: bool = False, fetch_fn=None, logger=None,
+                 save_path: str | None = None):
         tax = schema.load_taxonomy(assets_dir)
         self.object_classes = list(tax.object_classes)
         self.relationship_classes = list(tax.relationship_classes)
@@ -156,6 +157,26 @@ class AGTrain:
             logger.info("action distribution (top 10): "
                         + ", ".join(f"{k}={v}" for k, v in top))
             logger.info("x" * 60)
+        if save_path is not None:  # startup bar chart (:152-160)
+            try:
+                import matplotlib
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+                counts = dict(sorted(self.action_count.items(),
+                                     key=lambda kv: -kv[1]))
+                plt.figure(figsize=(10, 5))
+                xs = np.arange(len(counts))
+                plt.bar(xs, list(counts.values()), color="black", alpha=0.5)
+                plt.xticks(xs, list(counts.keys()), rotation=90, fontsize=15)
+                plt.yticks(fontsize=15)
+                out = os.path.join(save_path, "action_dist.png")
+                plt.savefig(out, bbox_inches="tight")
+                plt.close()
+                if logger is not None:
+                    logger.info(f"saved action distribution chart -> {out}")
+            except Exception as e:  # chart is cosmetic; never block training
+                if logger is not None:
+                    logger.warning(f"action_dist.png not saved: {e!r}")
 
     def __len__(self) -> int:
         return len(self.video_list)

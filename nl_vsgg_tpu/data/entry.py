@@ -102,8 +102,13 @@ def pad_entry(e: Entry, n_boxes: int, n_rels: int) -> Entry:
         a = np.asarray(a)
         if a.shape[0] >= n:
             return a[:n]
-        pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-        return np.pad(a, pad)
+        # zeros + row copy, NOT np.pad: numpy's pad writes the pad area
+        # through a generic slow path — it was 88% of wk_forward's time at
+        # production shapes (the (R,7,7,2048) union_feat alone is 38 MB).
+        # calloc-backed zeros never touch the pad pages.
+        out = np.zeros((n,) + a.shape[1:], a.dtype)
+        out[: a.shape[0]] = a
+        return out
 
     kw = {}
     for f in dataclasses.fields(Entry):

@@ -309,7 +309,11 @@ def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool
             sel = im == f
             uf[sel] = union_feat_fn(int(f), union[sel])
     else:
-        uf = np.zeros((n_rels, POOL, POOL, feat_dim), np.float32)
+        # no provider -> union_feat is all-zeros (train loop materializes the
+        # zeros on device, place_entries zero_union). Allocate straight at the
+        # bucket shape: calloc pages are never written, and pad_entry's fit()
+        # passes a full-size array through as a view
+        uf = np.zeros((bucket_rels, POOL, POOL, feat_dim), np.float32)
 
     if compute_spatial_masks:
         # numpy twin: grounding is host-side; the XLA version would dispatch
@@ -423,6 +427,19 @@ def _mapped_order(ag_ids: tuple[int, ...], gt_classes: frozenset[int],
     return _mapped_order_cached(ag_ids, gt_classes)
 
 
+@functools.lru_cache(maxsize=8)
+def _person_lut(person_ids: frozenset[int]) -> np.ndarray:
+    """Boolean lookup table over OI class ids: `lut[cls]` replaces the
+    per-frame np.isin/sort machinery (~0.2 ms/frame of pure numpy overhead
+    on ~10-det frames). The table's last slot is a non-person sentinel so
+    np.take(..., mode='clip') is safe for any id."""
+    size = max(person_ids) + 2  # +1 sentinel row for clipped out-of-range ids
+    lut = np.zeros(size, bool)
+    lut[list(person_ids)] = True
+    lut[size - 1] = False
+    return lut
+
+
 def assign_labels_frame_fast(frame: FrameDetections, gt_frame: list[dict],
                              is_train: bool, person_ids: frozenset[int],
                              oi_to_ag: dict[int, list[int]],
@@ -432,8 +449,7 @@ def assign_labels_frame_fast(frame: FrameDetections, gt_frame: list[dict],
     exact row-order parity with the loop version (fuzz-tested)."""
     classes = frame.classes.copy()
     classes[classes == 1594] = 1593
-    person_arr = np.fromiter(person_ids, np.int64)
-    is_person = np.isin(classes, person_arr)
+    is_person = np.take(_person_lut(person_ids), classes, mode="clip")
     if not is_person.any():
         if pseudo_way == 0:
             return GroundedFrame(has_person=False)

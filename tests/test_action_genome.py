@@ -64,6 +64,12 @@ class TestAGTrain:
         assert ds.action_count[tax.relationship_classes_gt[3 + 1]] == 4  # spatial 1
         assert ds.action_count[tax.relationship_classes_gt[9 + 3]] == 4  # contact 3
 
+    def test_action_distribution_chart(self, train_fixture, tmp_path):
+        # startup bar chart parity (ref dataloader/wk_action_genome.py:152-160)
+        AGTrain(train_fixture, remove_one_frame_video=False,
+                save_path=str(tmp_path))
+        assert (tmp_path / "action_dist.png").stat().st_size > 0
+
     def test_auto_download_fetches_missing_artifacts(self, train_fixture, tmp_path):
         """First-run auto-download (ref wk_action_genome.py:13-15,92-106):
         missing pickles are fetched from the HF dataset URL; here the fetch is

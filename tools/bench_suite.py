@@ -266,6 +266,46 @@ def bench_detector(iters: int, dtype: str | None = None):
           f"{flops / 1e12:.2f} TFLOP/call)")
 
 
+def bench_grounding(iters: int):
+    """Host grounding throughput (data/grounding.py::wk_forward) on a
+    synthetic 32-frame video at the production bucket — the per-core ceiling
+    of the train data pipeline (one chip consumes ~780 videos/s at b64 bf16,
+    so videos/s/core sets the worker count). Pure host numpy; no chip."""
+    import shutil
+    import tempfile
+    import pickle
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from fixtures import build_micro_ag
+
+    from nl_vsgg_tpu.data.grounding import load_frame_features, wk_forward
+
+    root = tempfile.mkdtemp()
+    try:
+        ag = build_micro_ag(root, n_videos=1, n_frames=32, feat_dim=2048)
+        with open(os.path.join(ag, "final_ag_data_w_neg.pkl"), "rb") as f:
+            pseudo = pickle.load(f)
+        with open(os.path.join(ag, "triplets_LLM4SGG.pkl"), "rb") as f:
+            fl = pickle.load(f)
+        vid = next(iter(pseudo))
+        paths = [os.path.join(ag, "frame_features", vid, fr)
+                 for fr in fl[vid]["frame_list"]]
+
+        def load():
+            return load_frame_features(paths, use_native=True, feat_dim=2048)
+
+        frames = load()
+        t_load = timed(lambda: (load(), None)[1], reps=iters)
+        t_wk = timed(lambda: (wk_forward(frames, pseudo[vid], True, 128, 96,
+                                         feat_dim=2048), None)[1], reps=iters)
+        per_video = t_load + t_wk
+        print(f"grounding   32f bucket 128/96  : {per_video * 1e3:8.2f} ms/video "
+              f"({1.0 / per_video:,.0f} videos/s/core; "
+              f"load {t_load * 1e3:.1f} + wk_forward {t_wk * 1e3:.1f} ms)")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=10)
@@ -273,7 +313,7 @@ def main():
                    help="also bench the VinVL-JAX detector (long compile)")
     p.add_argument("--only", default=None,
                    help="run a single row: roi_align | recall | train_step | "
-                        "train_step_bf16 | dsg_detr | detector")
+                        "train_step_bf16 | dsg_detr | detector | grounding")
     args = p.parse_args()
     import jax
     print(f"# device: {jax.devices()[0].device_kind}")
@@ -285,6 +325,7 @@ def main():
         "train_step_bf16": lambda: bench_train_step(args.iters, B=64,
                                                     dtype=jnp.bfloat16),
         "dsg_detr": lambda: bench_dsg_detr(args.iters),
+        "grounding": lambda: bench_grounding(max(args.iters, 20)),
         "detector": lambda: bench_detector(args.iters),
     }
     if args.only:

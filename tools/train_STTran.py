@@ -244,7 +244,8 @@ def run_training(cfg, args, build_model_fn):
     logger.info("loading datasets")
     ds_train = AGTrain(cfg.data_path, pseudo_label_path=cfg.pseudo_localized_SG_path,
                        remove_one_frame_video=cfg.remove_one_frame_video,
-                       auto_download=cfg.auto_download, logger=logger)
+                       auto_download=cfg.auto_download, logger=logger,
+                       save_path=cfg.save_path if primary else None)
     ds_test = AGTest(cfg.data_path if cfg.data_path.endswith("annotations")
                      else os.path.join(cfg.data_path, "annotations"))
     logger.info(f"train videos: {len(ds_train)}, test videos: {len(ds_test)}")
