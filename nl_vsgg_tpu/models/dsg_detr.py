@@ -37,7 +37,8 @@ import numpy as np
 
 from ..data.entry import Entry
 from .layers import TorchEncoderLayer, sinusoidal_position_table
-from .sttran import ObjectClassifierWK, SpatialMaskConv, _const_init
+from .sttran import (ObjectClassifierWK, SpatialMaskConv, _const_init,
+                     union_projection)
 
 
 def tracklet_rank(group_id: jnp.ndarray, anchor: jnp.ndarray,
@@ -169,10 +170,7 @@ class DSGDETR(nn.Module):
             entry.features[..., entry.pair_idx[..., 0], :])
         obj_rep = nn.Dense(512, name="obj_fc", dtype=self.dtype)(
             entry.features[..., entry.pair_idx[..., 1], :])
-        # 1x1 conv == channel-axis Dense; dot form avoids the conv's layout
-        # copy of the big union-feature operand (see models/sttran.py)
-        union_proj = nn.Dense(256, name="union_func1",
-                              dtype=self.dtype)(entry.union_feat)
+        union_proj = union_projection(entry.union_feat, self.feat_dim, self.dtype)
         mask_feat = SpatialMaskConv(dtype=self.dtype, name="spatial_conv")(
             entry.spatial_masks, entry.rel_mask, train)
         vr = union_proj + mask_feat

@@ -52,6 +52,29 @@ def _const_init(value: np.ndarray):
     return lambda key, shape, dtype=jnp.float32: jnp.asarray(value, dtype)
 
 
+def union_projection(union_feat: jnp.ndarray, feat_dim: int, dtype) -> jnp.ndarray:
+    """union_func1: the reference's 1x1 conv over union features
+    (lib/sttran.py:336) as a channel-axis Dense — the dot form keeps the big
+    (R, 7, 7, C) operand in its natural layout (the conv form forced a full
+    layout copy; tools/probe_trace.py).
+
+    A width-0 `union_feat` (zero-union mode: the Entry was built with no
+    union-feature provider, so the logical input is all-zeros) is the exact
+    fast path: xW+b == b. We feed a CONSTANT zeros of the full width — XLA
+    constant-folds dot(0, W) to 0 in both the forward and the kernel-grad
+    (verified: 0 HLO flops), leaving only the bias broadcast, and the
+    (feat_dim, 256) param tree is identical to the dense path so checkpoints
+    interchange. Saves ~0.5 TFLOP of a 2.33 TFLOP batch-64 inference call
+    plus the 38 MB/video of device zeros.
+
+    Must be called from inside a compact module; the Dense attaches to the
+    caller's scope as 'union_func1'."""
+    if union_feat.shape[-1] == 0:
+        union_feat = jnp.zeros(union_feat.shape[:-1] + (feat_dim,),
+                               union_feat.dtype)
+    return nn.Dense(256, name="union_func1", dtype=dtype)(union_feat)
+
+
 class ObjectClassifierWK(nn.Module):
     """Weak-supervision object head (lib/sttran.py:20-51, 173-184)."""
 
@@ -253,13 +276,7 @@ class STTran(nn.Module):
             entry.features[..., entry.pair_idx[..., 0], :])
         obj_rep = nn.Dense(512, name="obj_fc", dtype=self.dtype)(
             entry.features[..., entry.pair_idx[..., 1], :])
-        # the reference's 1x1 conv (lib/sttran.py:336) == a Dense on the
-        # channel axis; expressed as a dot so XLA keeps the batch operand in
-        # its natural layout (the conv form forced a full layout-copy of the
-        # (B, R, 7, 7, 2048) union features — 5.4 ms of an 86 ms b64 train
-        # step, tools/probe_trace.py)
-        union_proj = nn.Dense(256, name="union_func1",
-                              dtype=self.dtype)(entry.union_feat)
+        union_proj = union_projection(entry.union_feat, self.feat_dim, self.dtype)
         mask_feat = SpatialMaskConv(dtype=self.dtype, name="spatial_conv")(
             entry.spatial_masks, entry.rel_mask, train)
         vr = union_proj + mask_feat  # (R, 7, 7, 256)

@@ -141,19 +141,6 @@ def merge_evaluators(evaluator) -> None:
                 for n in range(coll.num_rel)]
 
 
-@functools.lru_cache(maxsize=64)
-def _zeros_fn(shape, dtype, sharding):
-    """Compiled global-zeros builder, cached per (bucket shape, dtype,
-    sharding) so repeat batches skip re-tracing."""
-    return jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sharding)
-
-
-def _device_zeros(shape, dtype, sharding):
-    """Global all-zero array created ON device (no host->device transfer of
-    zero bytes — union_feat is ~95% of an Entry's bytes)."""
-    return _zeros_fn(tuple(shape), np.dtype(dtype), sharding)()
-
-
 class DistributedBatcher:
     """Fixed-composition global video batches for multi-controller training.
 
@@ -204,7 +191,6 @@ class DistributedBatcher:
         from jax.experimental import multihost_utils
 
         sh = batch_sharding(self.mesh)
-        big = jnp.bfloat16 if self.rel_bf16 else jnp.float32
         # Fixed blocks up front; the ragged tail (< B videos) is dropped: its
         # composition would need a second set of compiled shapes per bucket,
         # and the epoch order reshuffles per epoch so no video is starved.
@@ -242,21 +228,20 @@ class DistributedBatcher:
                 local = [pad_entry(e, bb, br) if e is not None
                          else empty_entry(bb, br, self.feat_dim)
                          for e in entries]
-                uf_shape = (self.B,) + tuple(np.shape(local[0].union_feat))
                 if self.zero_union:
-                    # swap the all-zero union features for a (1,) placeholder
-                    # BEFORE stacking (~38 MB/video of zeros otherwise copied
-                    # host-side only to be discarded; same trick as
-                    # train/step.py place_entries) — rebuilt on device below
-                    ph = np.zeros((1,), np.float32)
-                    local = [e.replace(union_feat=ph) for e in local]
+                    # width-0 union channel BEFORE stacking: the models'
+                    # union_projection treats it as the exact bias-broadcast
+                    # fast path (models/sttran.py) — neither the ~38 MB/video
+                    # of host zeros nor any device zeros exist at all, and the
+                    # empty leaf rides the normal global-array path below
+                    local = [e.replace(union_feat=np.zeros(
+                        np.shape(e.union_feat)[:-1] + (0,), np.float32))
+                        for e in local]
                 host = jax.tree.map(
                     lambda *xs: np.stack([np.asarray(x) for x in xs]), *local)
 
                 def to_global(name, arr):
                     arr = np.asarray(arr)
-                    if self.zero_union and name == "union_feat":
-                        return None  # filled below, on device
                     if self.rel_bf16 and name in ("union_feat", "spatial_masks"):
                         arr = arr.astype(jnp.bfloat16)
                     gshape = (self.B,) + arr.shape[1:]
@@ -264,6 +249,4 @@ class DistributedBatcher:
 
                 kw = {f.name: to_global(f.name, getattr(host, f.name))
                       for f in dataclasses.fields(Entry)}
-                if self.zero_union:
-                    kw["union_feat"] = _device_zeros(uf_shape, big, sh)
                 yield Entry(**kw)

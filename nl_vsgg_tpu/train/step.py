@@ -49,8 +49,11 @@ def place_entries(entries: list[Entry], zero_union: bool = False,
         (~17 transfers per batch) instead of per-video device_puts
         (~17 x batch transfers);
       * `zero_union=True` (no union-feature provider -> union_feat is
-        all-zeros) materializes the zeros ON DEVICE: union_feat is ~95% of
-        an Entry's bytes (38 MB/video at the production 96x7x7x2048 shape).
+        all-zeros) ships a WIDTH-0 union_feat (B, R, 7, 7, 0): union_feat is
+        ~95% of an Entry's bytes (38 MB/video at the production 96x7x7x2048
+        shape), and the models' union_projection turns the absent channel
+        into an exact bias broadcast (models/sttran.py) — no zeros are
+        materialized anywhere and the union matmul disappears from the step.
 
     `cast_bf16` additionally uploads the three large float arrays
     (features / union_feat / spatial_masks) at bf16 width — for serving
@@ -74,7 +77,7 @@ def place_entries(entries: list[Entry], zero_union: bool = False,
     host = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
                         *entries)
     if zero_union:
-        host = host.replace(union_feat=jnp.zeros(uf_shape, big))
+        host = host.replace(union_feat=jnp.zeros(uf_shape[:-1] + (0,), big))
     elif rel_bf16:
         host = host.replace(union_feat=jnp.asarray(host.union_feat, big))
     if rel_bf16:

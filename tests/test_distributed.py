@@ -105,8 +105,9 @@ def test_distributed_batcher_single_process():
     # agreed bucket = max over members (mixed 16/32 buckets)
     assert b.boxes.shape == (4, 32, 4)
     assert b.pair_idx.shape == (4, 32, 2)
-    assert b.union_feat.shape == (4, 32, 7, 7, 32)
-    assert not np.asarray(b.union_feat).any()  # device-built zeros
+    # zero-union ships the width-0 channel; the models' union_projection
+    # turns it into the exact bias broadcast (models/sttran.py)
+    assert b.union_feat.shape == (4, 32, 7, 7, 0)
     # slot 3 failed grounding -> inert (valid-weighted step skips it)
     bm = np.asarray(b.box_mask)
     assert bm[:3].any(axis=1).all() and not bm[3].any()

@@ -244,12 +244,18 @@ def test_remat_matches_dense():
 
 
 def test_place_entries_zero_union_is_equivalent():
-    """Device-side zero union features must be indistinguishable from
-    uploading the host zeros (and must refuse nothing else)."""
+    """zero_union ships a width-0 union_feat; every other leaf must be
+    byte-identical to the plain upload, and the models must produce EXACTLY
+    the outputs and gradients of explicit all-zero union features (the
+    union_projection bias-broadcast fast path, models/sttran.py)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
+    from nl_vsgg_tpu.models.dsg_detr import DSGDETR
+    from nl_vsgg_tpu.models.sttran import STTran
     from nl_vsgg_tpu.train import place_entries, stack_entries
 
     rng = np.random.default_rng(11)
@@ -260,8 +266,38 @@ def test_place_entries_zero_union_is_equivalent():
         e.union_feat[:] = 0.0
     ref = stack_entries([jax.tree.map(jnp.asarray, e) for e in entries])
     got = place_entries(entries, zero_union=True)
-    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert got.union_feat.shape == ref.union_feat.shape[:-1] + (0,)
+    for f in dataclasses.fields(ref):
+        if f.name == "union_feat":
+            continue
+        np.testing.assert_array_equal(np.asarray(getattr(ref, f.name)),
+                                      np.asarray(getattr(got, f.name)))
+
+    for model in (STTran(mode="sgdet", feat_dim=16),
+                  DSGDETR(mode="sgdet", feat_dim=16)):
+        one_ref = jax.tree.map(lambda x: x[0], ref)
+        one_got = jax.tree.map(lambda x: x[0], got)
+        v = model.init({"params": jax.random.key(0),
+                        "dropout": jax.random.key(1)}, one_ref, train=False)
+
+        def fwd_sum(params, e):
+            out = model.apply({"params": params,
+                               "batch_stats": v.get("batch_stats", {})},
+                              e, train=False)
+            return (out["attention_distribution"].sum()
+                    + out["spatial_logits"].sum()
+                    + out["contacting_logits"].sum()), out
+
+        (s_ref, o_ref), g_ref = jax.value_and_grad(fwd_sum, has_aux=True)(
+            v["params"], one_ref)
+        (s_got, o_got), g_got = jax.value_and_grad(fwd_sum, has_aux=True)(
+            v["params"], one_got)
+        for k in ("attention_distribution", "spatial_logits",
+                  "contacting_logits", "global_output"):
+            np.testing.assert_array_equal(np.asarray(o_ref[k]),
+                                          np.asarray(o_got[k]))
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_place_entries_rel_bf16_matches_model_cast():
