@@ -28,6 +28,7 @@ shapes out); the TPU sees only the padded Entry.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Callable, Sequence
 
@@ -246,8 +247,17 @@ def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool
                 union_feat_fn: UnionFeatFn | None = None,
                 feat_dim: int = FEAT_DIM,
                 compute_spatial_masks: bool = True,
-                on_truncate: TruncateFn | None = None) -> Entry | None:
-    """convert_data (:1196-1384) -> padded Entry; None when no relations."""
+                on_truncate: TruncateFn | None = None,
+                union_cache_path: str | None = None,
+                union_cache_dtype: str = "float16") -> Entry | None:
+    """convert_data (:1196-1384) -> padded Entry; None when no relations.
+
+    `union_cache_path`: optional .npy path for the extracted union features.
+    Grounding is deterministic per video, so a hit (row count matches this
+    build) replaces the union_feat_fn extraction entirely; a miss extracts
+    and writes the pre-padding rows. The cache stores `union_cache_dtype`
+    (float16 default: ~1e-3 relative error, below bf16 compute noise; use
+    float32 for exact-parity runs)."""
     boxes, frames, labels, scores, feats = [], [], [], [], []
     pair_idx, im_idx = [], []
     a_rel, s_rel, c_rel = [], [], []
@@ -302,12 +312,26 @@ def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool
         np.minimum(boxes[pair_np[:, 0], :2], boxes[pair_np[:, 1], :2]),
         np.maximum(boxes[pair_np[:, 0], 2:], boxes[pair_np[:, 1], 2:])], axis=1)
 
-    if union_feat_fn is not None:
+    cached = None
+    if union_feat_fn is not None and union_cache_path is not None \
+            and os.path.exists(union_cache_path):
+        arr = np.load(union_cache_path)
+        if arr.shape == (n_rels, POOL, POOL, feat_dim):
+            cached = arr.astype(np.float32)
+        # else: stale cache (buckets/pipeline changed row count) -> re-extract
+    if cached is not None:
+        uf = cached
+    elif union_feat_fn is not None:
         uf = np.zeros((n_rels, POOL, POOL, feat_dim), np.float32)
         im = np.asarray(im_idx)
         for f in np.unique(im):
             sel = im == f
             uf[sel] = union_feat_fn(int(f), union[sel])
+        if union_cache_path is not None:
+            os.makedirs(os.path.dirname(union_cache_path) or ".", exist_ok=True)
+            tmp = union_cache_path + ".tmp.npy"  # atomic vs concurrent workers
+            np.save(tmp, uf.astype(union_cache_dtype))
+            os.replace(tmp, union_cache_path)
     else:
         # no provider -> union_feat is all-zeros (train loop materializes the
         # zeros on device, place_entries zero_union). Allocate straight at the
@@ -361,13 +385,17 @@ def wk_forward(frames: Sequence[FrameDetections], gt_annotation, is_train: bool,
                union_feat_fn: UnionFeatFn | None = None,
                assets_dir: str | None = None, pseudo_way: int = 0,
                feat_dim: int = FEAT_DIM,
-               on_truncate: TruncateFn | None = None) -> Entry | None:
+               on_truncate: TruncateFn | None = None,
+               union_cache_path: str | None = None,
+               union_cache_dtype: str = "float16") -> Entry | None:
     """The full grounding pass (lib/object_detector.py:35-45)."""
     grounded = assign_labels_video(frames, gt_annotation, is_train,
                                    assets_dir, pseudo_way)
     return build_entry(grounded, gt_annotation, is_train, bucket_boxes,
                        bucket_rels, union_feat_fn, feat_dim,
-                       on_truncate=on_truncate)
+                       on_truncate=on_truncate,
+                       union_cache_path=union_cache_path,
+                       union_cache_dtype=union_cache_dtype)
 
 
 def entry_to_eval_pred(entry: Entry, pred: dict) -> dict:

@@ -127,6 +127,16 @@ class Config:
     # or auto)
     process_id: int = -1  # this process's rank (-1: env NL_VSGG_PROCESS_ID
     # or auto)
+    union_feat_cache: str = ""  # directory for an on-disk union-feature
+    # cache: grounding is deterministic per video, so the VinVL union
+    # extraction (the dominant per-video cost when union_box_feature is on;
+    # the reference reruns it EVERY STEP, lib/assign_pseudo_label.py:1336)
+    # runs once per video ever — epoch 2+ and eval re-runs read ~25 MB/video
+    # from disk instead of a ~300-400 ms detector pass on the training chip
+    union_feat_cache_dtype: str = "float16"  # cache storage dtype: float16
+    # halves disk (~88 GB for AG train at production buckets) at ~1e-3
+    # relative feature error — below the bf16 compute noise most runs use;
+    # set float32 for exact-parity runs
     prng_impl: str = "rbg"  # PRNG for training randomness (dropout / label
     # sampling): "rbg" is ~16% faster per train step on TPU than jax's
     # default threefry2x32 (measured: 120 -> 101 ms at batch 64); both are

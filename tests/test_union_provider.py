@@ -119,6 +119,53 @@ def test_ground_video_populates_union_feat(tmp_path, rng):
     assert log.warnings == []
 
 
+def test_union_feat_cache_roundtrip(tmp_path):
+    """cfg.union_feat_cache: first grounding extracts and writes the cache;
+    the second reads it back WITHOUT invoking the provider (no frame reads,
+    no detector), reproducing the same Entry. float32 cache is exact;
+    float16 (the default) is within fp16 rounding."""
+    from nl_vsgg_tpu.data.action_genome import AGTrain
+    from tests.fixtures import build_micro_ag
+
+    train = _load_tool("train_STTran")
+    ag = build_micro_ag(str(tmp_path), n_videos=1, n_frames=2, feat_dim=64)
+    ds = AGTrain(ag, remove_one_frame_video=False)
+    calls = []
+
+    def provider(ds_, idx):
+        calls.append(idx)
+        r = np.random.default_rng(7)
+        table = {}
+
+        def fn(f, boxes):
+            key = (f, len(boxes))
+            if key not in table:  # deterministic per (frame, count)
+                table[key] = r.standard_normal(
+                    (len(boxes), 7, 7, 64)).astype(np.float32)
+            return table[key]
+        return fn
+
+    for dtype, exact in (("float32", True), ("float16", False)):
+        calls.clear()
+        cfg = load_config(None, {
+            "data_path": ag, "feat_dim": 64,
+            "frame_features_path": os.path.join(ag, "frame_features"),
+            "union_feat_cache": str(tmp_path / f"uf_cache_{dtype}"),
+            "union_feat_cache_dtype": dtype})
+        e1 = train.ground_video(ds, 0, cfg, True, cfg.buckets,
+                                union_provider=provider)
+        assert calls == [0] and e1 is not None
+        assert float(np.abs(np.asarray(e1.union_feat)).max()) > 0
+        e2 = train.ground_video(ds, 0, cfg, True, cfg.buckets,
+                                union_provider=provider)
+        assert calls == [0], "cache hit must not re-invoke the provider"
+        a, b = np.asarray(e1.union_feat), np.asarray(e2.union_feat)
+        if exact:
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
 def test_cfg_dtype_reaches_models():
     """cfg.dtype='bfloat16' must flow into both model builders (params stay
     fp32; the compute dtype drives the MXU path)."""

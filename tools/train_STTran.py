@@ -152,11 +152,33 @@ def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
     n_hint = sum(len(f.classes) for f in frames)
     bb = pick_bucket(buckets.max_boxes, n_hint)
     br = pick_bucket(buckets.max_rels, n_hint)
-    union_feat_fn = union_provider(ds, idx) if union_provider is not None else None
+    union_feat_fn, cache_path = None, None
+    if union_provider is not None:
+        if cfg.union_feat_cache:
+            # grounding is deterministic per video -> the extraction result
+            # is reusable across epochs/eval re-runs (the reference reruns
+            # the full backbone per step, lib/assign_pseudo_label.py:1336)
+            vid = str(ds.video_ids[idx]).replace("/", "_")
+            cache_path = os.path.join(cfg.union_feat_cache,
+                                      "train" if is_train else "test",
+                                      vid + ".npy")
+        lazy: list = []
+
+        def union_feat_fn(f, boxes):
+            # provider invoked only on an actual extraction (a cache hit
+            # never reads frames or touches the detector)
+            if not lazy:
+                lazy.append(union_provider(ds, idx))
+            if lazy[0] is None:  # frames missing: per-video zeros fallback
+                return np.zeros((len(boxes), 7, 7, cfg.feat_dim), np.float32)
+            return lazy[0](f, boxes)
+
     return wk_forward(frames, ds.gt_annotations[idx], is_train, bb, br,
                       union_feat_fn=union_feat_fn,
                       feat_dim=cfg.feat_dim, pseudo_way=cfg.pseudo_way,
-                      on_truncate=on_truncate)
+                      on_truncate=on_truncate,
+                      union_cache_path=cache_path,
+                      union_cache_dtype=cfg.union_feat_cache_dtype)
 
 
 def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
