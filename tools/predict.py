@@ -219,8 +219,7 @@ def main():
     no_union = union_provider is None
     cast16 = cfg.dtype == "bfloat16"
 
-    def flush(items):
-        nonlocal n_exported
+    def dispatch(items):
         entries = [e for _, e in items]
         # pad leftover batches to the compiled batch size by repeating the
         # first entry (rows discarded below): a fresh eval_step executable
@@ -228,9 +227,13 @@ def main():
         entries += [entries[0]] * (args.batch - len(entries))
         batch = place_entries(entries, zero_union=no_union, cast_bf16=cast16)
         pred = eval_step(state, batch)
-        # fetch only the heads the JSON needs: global_output alone is ~12 MB
+        # keep only the heads the JSON needs: global_output alone is ~12 MB
         # per 16-video batch, ~97% of the download on a tunneled chip
-        pred = jax.device_get({k: pred[k] for k in NEEDED})
+        return items, {k: pred[k] for k in NEEDED}
+
+    def drain(items, handles):
+        nonlocal n_exported
+        pred = jax.device_get(handles)
         for bi, (i, e) in enumerate(items):
             sg = scene_graph_json(ds.video_ids[i], e,
                                   {k: v[bi] for k, v in pred.items()},
@@ -244,11 +247,19 @@ def main():
     prefetcher = GroundingPrefetcher(entry_for, list(range(len(ds))),
                                      num_workers=args.workers or cfg.num_workers)
     try:
+        # double-buffered: dispatch batch i (async), then fetch + serialize
+        # batch i-1 while the device computes i
+        pending = None
         for kind, payload in bucket_events(iter(prefetcher), args.batch):
             if kind == "skip":
                 logger.warning(f"{ds.video_ids[payload]}: no relations (skipped)")
             else:
-                flush(payload)
+                handles = dispatch(payload)
+                if pending is not None:
+                    drain(*pending)
+                pending = handles
+        if pending is not None:
+            drain(*pending)
     finally:
         if sink is not sys.stdout:
             sink.close()

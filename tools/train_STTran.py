@@ -201,14 +201,9 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
         get_entry, list(range(n_test)) if indices is None else list(indices),
         num_workers=cfg.num_workers)
     from nl_vsgg_tpu.data import bucket_events
-    for kind, payload in bucket_events(iter(prefetcher), cfg.batch_videos):
-        if kind == "skip":
-            evaluator.evaluate_scene_graph(ds_test.gt_annotations[payload], {})
-            continue
-        items = payload
-        batch = place_entries([e for _, e in items], zero_union=zero_union,
-                              rel_bf16=cfg.dtype == "bfloat16")
-        pred = jax.device_get(eval_step(state, batch))
+
+    def score(items, handles):
+        pred = jax.device_get(handles)
         for bi, (i, e) in enumerate(items):
             p = entry_to_eval_pred(e, {k: v[bi] for k, v in pred.items()})
             evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
@@ -216,6 +211,23 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
                 from nl_vsgg_tpu.eval.recall_jax import device_eval_video
                 device_recalls.append(device_eval_video(
                     e, p, ds_test.gt_annotations[i], evaluator, f_bucket=32))
+
+    # double-buffered: dispatch batch i (async), THEN fetch + host-score
+    # batch i-1 — the device computes while the host evaluator runs
+    pending = None
+    for kind, payload in bucket_events(iter(prefetcher), cfg.batch_videos):
+        if kind == "skip":
+            evaluator.evaluate_scene_graph(ds_test.gt_annotations[payload], {})
+            continue
+        items = payload
+        batch = place_entries([e for _, e in items], zero_union=zero_union,
+                              rel_bf16=cfg.dtype == "bfloat16")
+        handles = eval_step(state, batch)
+        if pending is not None:
+            score(*pending)
+        pending = (items, handles)
+    if pending is not None:
+        score(*pending)
     return evaluator
 
 
