@@ -183,7 +183,7 @@ def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
 
 def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
                    evaluator=None, device_recalls=None, zero_union=False,
-                   indices=None):
+                   indices=None, place_fn=None):
     """Streaming evaluation over the test split (train_STTran.py:210-232).
 
     Entries are grounded by the prefetcher, grouped into at most ONE pending
@@ -193,7 +193,10 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
     to also score R@K with the on-device scorers (eval/recall_jax.py); the
     host evaluator remains the reported source of truth. `indices` restricts
     the videos scored (multi-host: each process scores its shard, then
-    parallel.distributed.merge_evaluators combines them).
+    parallel.distributed.merge_evaluators combines them). `place_fn`
+    (single-controller multi-device: run_training's place_batch) pads the
+    video axis to the mesh's data axis and shards the batch, so eval uses
+    the same data parallelism as training; padded rows are never read.
     """
     if evaluator is None:
         evaluator = SceneGraphEvaluator(mode=cfg.mode, taxonomy=tax)
@@ -222,6 +225,8 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
         items = payload
         batch = place_entries([e for _, e in items], zero_union=zero_union,
                               rel_bf16=cfg.dtype == "bfloat16")
+        if place_fn is not None:
+            batch = place_fn(batch)
         handles = eval_step(state, batch)
         if pending is not None:
             score(*pending)
@@ -477,7 +482,9 @@ def run_training(cfg, args, build_model_fn):
                                    ev_step, state,
                                    device_recalls=device_recalls,
                                    zero_union=union_provider is None,
-                                   indices=my_idx)
+                                   indices=my_idx,
+                                   place_fn=None if (multiproc or mesh is None)
+                                   else place_batch)
         if multiproc:
             merge_evaluators(evaluator)
             if device_recalls is not None:
