@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 import test_STTran as base_test
-import train_STTran as base
 from train_DSG_DETR import build_model
 
 
@@ -123,16 +122,15 @@ def main():
     if cfg.mode == "sgcls":
         evaluate_sgcls(cfg, args, setup_logger())
         return
-    # sgdet/predcls: shared loop with the DSG-DETR model builder
+    # sgdet/predcls: shared streaming loop, parameterized by the model
+    # builder (no monkey-patching; the reference duplicates the whole file)
     if not args.model_path:
         p.error("--model_path is required for sgdet/predcls evaluation")
-    base.build_model = build_model
-    base_test.build_model = build_model
-    sys.argv = [sys.argv[0], *(["--cfg", args.cfg_file] if args.cfg_file else []),
-                "--model_path", args.model_path,
-                *(["--max_videos", str(args.max_videos)] if args.max_videos else []),
-                *(["--device_eval"] if args.device_eval else [])]
-    base_test.main()
+    argv = [*(["--cfg", args.cfg_file] if args.cfg_file else []),
+            "--model_path", args.model_path,
+            *(["--max_videos", str(args.max_videos)] if args.max_videos else []),
+            *(["--device_eval"] if args.device_eval else [])]
+    base_test.main(argv, build_model_fn=build_model)
 
 
 if __name__ == "__main__":

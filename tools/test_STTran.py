@@ -16,18 +16,17 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-import jax.numpy as jnp
 
 from nl_vsgg_tpu.data import schema
 from nl_vsgg_tpu.data.action_genome import AGTest
-from nl_vsgg_tpu.data.grounding import entry_to_eval_pred
 from nl_vsgg_tpu.eval import SceneGraphEvaluator
-from nl_vsgg_tpu.train import create_train_state, make_eval_step, make_optimizer, place_entries, stack_entries
+from nl_vsgg_tpu.train import create_train_state, make_eval_step, make_optimizer
 from nl_vsgg_tpu.utils.checkpoint import restore_checkpoint
 from nl_vsgg_tpu.utils.config import load_config
 from nl_vsgg_tpu.utils.logging import setup_logger
 
-from train_STTran import build_model, ground_video, make_union_provider  # noqa: E402
+from train_STTran import (build_model, evaluate_epoch, ground_video,  # noqa: E402
+                          make_union_provider)
 
 
 def make_gt_entry_builder(cfg):
@@ -66,15 +65,17 @@ def make_gt_entry_builder(cfg):
     return build
 
 
-def main():
-    p = argparse.ArgumentParser(description="STTran evaluation")
+def main(argv=None, build_model_fn=build_model):
+    """`build_model_fn` lets tools/test_DSG_DETR.py run the same loop with
+    its model builder (the reference duplicates the whole file)."""
+    p = argparse.ArgumentParser(description="relation-model evaluation")
     p.add_argument("--cfg", dest="cfg_file", default=None)
     p.add_argument("--model_path", required=True, help="Orbax checkpoint dir")
     p.add_argument("--max_videos", type=int, default=0)
     p.add_argument("--device_eval", action="store_true",
                    help="additionally score R@K on-device (fast path; the "
                         "host evaluator remains the reported source of truth)")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     cfg = load_config(args.cfg_file)
     logger = setup_logger()
@@ -83,7 +84,7 @@ def main():
                      else os.path.join(cfg.data_path, "annotations"))
     logger.info(f"test videos: {len(ds_test)}")
 
-    model = build_model(cfg, tax)
+    model = build_model_fn(cfg, tax)
     zero_union = False
     if cfg.mode in ("predcls", "sgcls"):
         builder = make_gt_entry_builder(cfg)
@@ -107,24 +108,15 @@ def main():
     state = restore_checkpoint(args.model_path, state)
     eval_step = jax.jit(make_eval_step(model))
 
+    # same streaming machinery as the per-epoch train eval: prefetch workers
+    # ground ahead of the device, same-bucket videos batch into one jit call,
+    # and host scoring double-buffers against device compute
     evaluator = SceneGraphEvaluator(mode=cfg.mode, taxonomy=tax)
-    device_recalls: list = []
+    device_recalls: list | None = [] if args.device_eval else None
     n = len(ds_test) if not args.max_videos else min(args.max_videos, len(ds_test))
-    for i in range(n):
-        e = get_entry(i)
-        if e is None:
-            evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], {})
-            continue
-        batch = place_entries([e], zero_union=zero_union,
-                              rel_bf16=cfg.dtype == "bfloat16")
-        pred = eval_step(state, batch)
-        pd = entry_to_eval_pred(e, {k: np.asarray(v[0]) for k, v in pred.items()})
-        evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], pd)
-        if args.device_eval:
-            from nl_vsgg_tpu.eval.recall_jax import device_eval_video
-            dr = device_eval_video(e, pd, ds_test.gt_annotations[i], evaluator,
-                                   f_bucket=32)
-            device_recalls.append(dr)
+    evaluate_epoch(cfg, tax, ds_test, n, get_entry, eval_step, state,
+                   evaluator=evaluator, device_recalls=device_recalls,
+                   zero_union=zero_union)
     evaluator.calculate_mean_recall()
     evaluator.print_stats(logger)
     if args.device_eval and device_recalls:
