@@ -315,23 +315,43 @@ def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool
     cached = None
     if union_feat_fn is not None and union_cache_path is not None \
             and os.path.exists(union_cache_path):
-        arr = np.load(union_cache_path)
-        if arr.shape == (n_rels, POOL, POOL, feat_dim):
+        try:
+            arr = np.load(union_cache_path)
+        except Exception:  # truncated/corrupt file -> treat as a miss
+            arr = None
+        # validity = row count AND stored dtype: an exact-parity float32 run
+        # must not silently consume a stale fp16 cache (and vice versa)
+        if arr is not None and arr.shape == (n_rels, POOL, POOL, feat_dim) \
+                and arr.dtype == np.dtype(union_cache_dtype):
             cached = arr.astype(np.float32)
-        # else: stale cache (buckets/pipeline changed row count) -> re-extract
+        # else: stale cache (buckets/pipeline/dtype changed) -> re-extract
     if cached is not None:
         uf = cached
     elif union_feat_fn is not None:
         uf = np.zeros((n_rels, POOL, POOL, feat_dim), np.float32)
         im = np.asarray(im_idx)
+        ok = True
         for f in np.unique(im):
             sel = im == f
-            uf[sel] = union_feat_fn(int(f), union[sel])
-        if union_cache_path is not None:
+            block = union_feat_fn(int(f), union[sel])
+            if block is None:
+                # extractor unavailable for this video (e.g. frame images
+                # missing): keep zeros for the video and — critically — do
+                # NOT cache them, or the fallback would permanently mask the
+                # real features once the frames appear
+                ok = False
+                break
+            uf[sel] = block
+        if ok and union_cache_path is not None:
             os.makedirs(os.path.dirname(union_cache_path) or ".", exist_ok=True)
-            tmp = union_cache_path + ".tmp.npy"  # atomic vs concurrent workers
+            # per-writer tmp + rename: concurrent jobs sharing the cache dir
+            # (train + eval, or two model families) must never interleave
+            # bytes in one tmp file
+            tmp = f"{union_cache_path}.{os.getpid()}.tmp.npy"
             np.save(tmp, uf.astype(union_cache_dtype))
             os.replace(tmp, union_cache_path)
+        if not ok:
+            uf = np.zeros((bucket_rels, POOL, POOL, feat_dim), np.float32)
     else:
         # no provider -> union_feat is all-zeros (train loop materializes the
         # zeros on device, place_entries zero_union). Allocate straight at the
@@ -460,7 +480,10 @@ def _person_lut(person_ids: frozenset[int]) -> np.ndarray:
     """Boolean lookup table over OI class ids: `lut[cls]` replaces the
     per-frame np.isin/sort machinery (~0.2 ms/frame of pure numpy overhead
     on ~10-det frames). The table's last slot is a non-person sentinel so
-    np.take(..., mode='clip') is safe for any id."""
+    np.take(..., mode='clip') is safe for any id; callers must mask negative
+    ids separately (clip maps them to index 0)."""
+    if not person_ids:  # degenerate taxonomy: nothing is a person
+        return np.zeros(1, bool)
     size = max(person_ids) + 2  # +1 sentinel row for clipped out-of-range ids
     lut = np.zeros(size, bool)
     lut[list(person_ids)] = True
@@ -477,7 +500,8 @@ def assign_labels_frame_fast(frame: FrameDetections, gt_frame: list[dict],
     exact row-order parity with the loop version (fuzz-tested)."""
     classes = frame.classes.copy()
     classes[classes == 1594] = 1593
-    is_person = np.take(_person_lut(person_ids), classes, mode="clip")
+    is_person = np.take(_person_lut(person_ids), classes, mode="clip") \
+        & (classes >= 0)  # clip maps negatives to index 0; np.isin said False
     if not is_person.any():
         if pseudo_way == 0:
             return GroundedFrame(has_person=False)

@@ -35,7 +35,6 @@ or local equivalent, so the training tools call them unconditionally.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 import pickle
 from typing import Callable, Iterator, Sequence

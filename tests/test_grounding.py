@@ -202,6 +202,23 @@ def test_no_person_video_returns_none(rng):
     assert wk_forward(frames, gt, True, 8, 8, assets_dir=ASSETS, feat_dim=32) is None
 
 
+def test_empty_person_ids_and_negative_classes(rng):
+    """Degenerate taxonomies (no OI id maps to person) and negative class
+    ids must behave like np.isin did: nothing is a person, no crash."""
+    from nl_vsgg_tpu.data.grounding import assign_labels_frame_fast
+    oi_to_ag, _ = schema.load_oi_ag_maps(ASSETS)
+    frame = FrameDetections(classes=np.array([-1, 5]),
+                            confs=np.array([0.9, 0.8], np.float32),
+                            rects=np.zeros((2, 4), np.float32),
+                            feats=np.zeros((2, 16), np.float32))
+    g = assign_labels_frame_fast(frame, [], True, frozenset(), oi_to_ag)
+    assert not g.has_person
+    # negative ids clip to index 0 in the LUT — they must never read slot 0's
+    # person bit (here id 0 IS a person)
+    g2 = assign_labels_frame_fast(frame, [], True, frozenset({0}), oi_to_ag)
+    assert not g2.has_person
+
+
 def test_entry_to_pred_oracle_hits_full_recall(rng):
     """entry_to_pred + evaluator: grounded GT relations evaluated against the
     same GT graph must give R@50 = 1 when boxes/classes coincide."""

@@ -166,6 +166,66 @@ def test_union_feat_cache_roundtrip(tmp_path):
             np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
 
 
+def test_union_feat_cache_never_poisoned_by_fallback(tmp_path):
+    """A failed provider (frames missing) must fall back to zeros WITHOUT
+    writing the cache; once the provider works, the real features are
+    extracted and cached. A stale-dtype or corrupt cache file re-extracts
+    instead of being consumed or crashing."""
+    from nl_vsgg_tpu.data.action_genome import AGTrain
+    from tests.fixtures import build_micro_ag
+
+    train = _load_tool("train_STTran")
+    ag = build_micro_ag(str(tmp_path), n_videos=1, n_frames=2, feat_dim=64)
+    ds = AGTrain(ag, remove_one_frame_video=False)
+    cache = tmp_path / "uf_cache"
+    cfg = load_config(None, {
+        "data_path": ag, "feat_dim": 64,
+        "frame_features_path": os.path.join(ag, "frame_features"),
+        "union_feat_cache": str(cache)})
+
+    broken = lambda ds_, idx: None  # provider fails (e.g. frames missing)
+    e = train.ground_video(ds, 0, cfg, True, cfg.buckets,
+                           union_provider=broken)
+    assert e is not None
+    assert float(np.abs(np.asarray(e.union_feat)).sum()) == 0
+    assert not list(cache.rglob("*.npy")), "zeros fallback must not be cached"
+
+    def good(ds_, idx):
+        r = np.random.default_rng(3)
+        return lambda f, boxes: r.standard_normal(
+            (len(boxes), 7, 7, 64)).astype(np.float32)
+
+    e2 = train.ground_video(ds, 0, cfg, True, cfg.buckets, union_provider=good)
+    assert float(np.abs(np.asarray(e2.union_feat)).max()) > 0
+    files = list(cache.rglob("*.npy"))
+    assert len(files) == 1 and files[0].suffix == ".npy"
+    assert np.load(files[0]).dtype == np.float16  # default storage dtype
+
+    # dtype change -> stale cache, provider re-invoked (not silently consumed)
+    calls = []
+
+    def counting(ds_, idx):
+        calls.append(idx)
+        return good(ds_, idx)
+
+    cfg32 = load_config(None, {
+        "data_path": ag, "feat_dim": 64,
+        "frame_features_path": os.path.join(ag, "frame_features"),
+        "union_feat_cache": str(cache), "union_feat_cache_dtype": "float32"})
+    train.ground_video(ds, 0, cfg32, True, cfg32.buckets,
+                       union_provider=counting)
+    assert calls == [0]
+    assert np.load(files[0]).dtype == np.float32  # rewritten at fp32
+
+    # corrupt file -> miss (re-extract), never a crash
+    files[0].write_bytes(b"not an npy")
+    calls.clear()
+    e3 = train.ground_video(ds, 0, cfg32, True, cfg32.buckets,
+                            union_provider=counting)
+    assert calls == [0] and e3 is not None
+    assert np.load(files[0]).dtype == np.float32  # repaired
+
+
 def test_cfg_dtype_reaches_models():
     """cfg.dtype='bfloat16' must flow into both model builders (params stay
     fp32; the compute dtype drives the MXU path)."""

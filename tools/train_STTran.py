@@ -166,11 +166,14 @@ def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
 
         def union_feat_fn(f, boxes):
             # provider invoked only on an actual extraction (a cache hit
-            # never reads frames or touches the detector)
+            # never reads frames or touches the detector). A failed provider
+            # (frames missing) returns None: build_entry falls back to zeros
+            # for the video WITHOUT caching them — the fallback must never
+            # poison the persistent cache
             if not lazy:
                 lazy.append(union_provider(ds, idx))
-            if lazy[0] is None:  # frames missing: per-video zeros fallback
-                return np.zeros((len(boxes), 7, 7, cfg.feat_dim), np.float32)
+            if lazy[0] is None:
+                return None
             return lazy[0](f, boxes)
 
     return wk_forward(frames, ds.gt_annotations[idx], is_train, bb, br,
