@@ -28,7 +28,11 @@ def load_tool(name: str):
 
 
 def build_micro_ag(root: str, n_videos: int = 3, n_frames: int = 4,
-                   feat_dim: int = 64, seed: int = 0) -> str:
+                   feat_dim: int = 64, seed: int = 0,
+                   n_objs: int = 2) -> str:
+    """`n_objs` = annotated objects per frame (each also a detection; real AG
+    frames carry ~10-40 detections — bench_suite's grounding row raises
+    this for realism)."""
     rng = np.random.default_rng(seed)
     tax = schema.load_taxonomy()
     oi_to_ag, ag_to_oi = schema.load_oi_ag_maps()
@@ -55,7 +59,7 @@ def build_micro_ag(root: str, n_videos: int = 3, n_frames: int = 4,
             fdir = os.path.join(ag, "frame_features", vid, fr)
             os.makedirs(fdir, exist_ok=True)
             person_rect = np.array([20 + i, 30, 120 + i, 260], np.float32)
-            picks = rng.choice(len(single), size=2, replace=False)
+            picks = rng.choice(len(single), size=n_objs, replace=False)
             dets = [{"class": person_ids[0], "conf": np.float32(0.95),
                      "rect": person_rect}]
             frame_gt = [{"person_bbox": person_rect[None]}]

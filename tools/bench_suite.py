@@ -282,7 +282,10 @@ def bench_grounding(iters: int):
 
     root = tempfile.mkdtemp()
     try:
-        ag = build_micro_ag(root, n_videos=1, n_frames=32, feat_dim=2048)
+        # 9 detections/frame (person + 8 objects): the realistic middle of
+        # AG's ~10-40 dets/frame, vs the default test fixture's 3
+        ag = build_micro_ag(root, n_videos=1, n_frames=32, feat_dim=2048,
+                            n_objs=8)
         with open(os.path.join(ag, "final_ag_data_w_neg.pkl"), "rb") as f:
             pseudo = pickle.load(f)
         with open(os.path.join(ag, "triplets_LLM4SGG.pkl"), "rb") as f:
