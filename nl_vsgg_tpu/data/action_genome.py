@@ -41,6 +41,21 @@ def _load_pickle(path: str):
         return pickle.load(f)
 
 
+def _norm_img_info(v):
+    """Normalize one video's im_info to [h, w, scale] floats.
+
+    The reference artifact stores a (1, 3) float32 torch tensor
+    (NL-VSGG/data_preprocess/extract_ag_img_info.py:32-34); our preprocess
+    CLI writes the same, and older repo pickles held a plain list — accept
+    tensor / ndarray / list so reference-produced files are drop-in."""
+    if v is None:
+        return None
+    if hasattr(v, "numpy"):  # torch tensor, without importing torch
+        v = v.numpy()
+    a = np.asarray(v, np.float32).reshape(-1)
+    return [float(a[0]), float(a[1]), float(a[2])]
+
+
 # The reference wgets these from its HF dataset when absent
 # (dataloader/wk_action_genome.py:13-15,92-106).
 HF_DATA_URL = "https://huggingface.co/datasets/kb-kim/NL-VSGG/resolve/main"
@@ -133,7 +148,7 @@ class AGTrain:
             self.video_ids.append(video_index)
             self.video_list.append(frames)
             self.gt_annotations.append(wk_ag_data)
-            self.img_info.append(img_info.get(video_index))
+            self.img_info.append(_norm_img_info(img_info.get(video_index)))
             self.total_frames += len(frames)
             for frame_info in wk_ag_data:  # stats (:126-141)
                 for t in frame_info:
@@ -266,7 +281,7 @@ class AGTest:
                 self.video_ids.append(vid)
                 self.video_list.append(video)
                 self.video_size.append(person_bbox[keys[-1]]["bbox_size"])
-                self.img_info.append(img_info.get(vid))
+                self.img_info.append(_norm_img_info(img_info.get(vid)))
                 self.gt_annotations.append(gt_video)
             elif len(video) == 1:
                 self.one_frame_video += 1

@@ -257,27 +257,36 @@ def mean_recall_video(gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx, rel_mask,
 def pack_gt_video(gt_annotation, evaluator, g_max: int = 32,
                   f_bucket: int | None = None):
     """AGTest-style per-frame GT lists -> padded (F, G, ...) triplet tensors
-    (uses the host evaluator's GT-graph builder for exact semantics)."""
+    (uses the host evaluator's GT-graph builder for exact semantics).
+
+    Returns (trip, boxes8, mask, dropped) where dropped counts GT excluded
+    by the padding buckets: frames past `f_bucket` plus per-frame relations
+    past `g_max`. Callers must surface a nonzero count — silently shrinking
+    the GT denominator inflates the device R@K relative to the host
+    evaluator (the source of truth)."""
     import numpy as np
     F = len(gt_annotation) if f_bucket is None else f_bucket
     trip = np.zeros((F, g_max, 3), np.int32)
     boxes8 = np.zeros((F, g_max, 8), np.float32)
     mask = np.zeros((F, g_max), bool)
+    dropped = 0
     for f, frame_gt in enumerate(gt_annotation):
-        if f >= F:
-            break
         e = evaluator._gt_entry(frame_gt)
         rels = e["gt_relations"]
+        if f >= F:
+            dropped += len(rels)
+            continue
         cls = e["gt_classes"].astype(np.int32)
         bx = e["gt_boxes"].astype(np.float32)
         n = min(len(rels), g_max)
+        dropped += len(rels) - n
         for i in range(n):
             s, o, p = rels[i]
             trip[f, i] = [cls[s], p, cls[o]]
             boxes8[f, i, :4] = bx[s]
             boxes8[f, i, 4:] = bx[o]
         mask[f, :n] = True
-    return trip, boxes8, mask
+    return trip, boxes8, mask, dropped
 
 
 def device_eval_video(entry, pred: dict, gt_annotation, evaluator,
@@ -286,7 +295,8 @@ def device_eval_video(entry, pred: dict, gt_annotation, evaluator,
     outputs. Returns {'recall': (F_valid, 3), 'recall_nogc': ..., 'semi': ...}
     restricted to frames that have GT."""
     import numpy as np
-    trip, boxes8, mask = pack_gt_video(gt_annotation, evaluator, g_max, f_bucket)
+    trip, boxes8, mask, dropped = pack_gt_video(gt_annotation, evaluator,
+                                                g_max, f_bucket)
     att = np.asarray(pred["attention_distribution"], np.float32)
     att = np.exp(att - att.max(-1, keepdims=True))
     att = att / att.sum(-1, keepdims=True)
@@ -306,4 +316,4 @@ def device_eval_video(entry, pred: dict, gt_annotation, evaluator,
     sm, _ = recall_video_semi(*args, num_frames=F)
     sel = np.asarray(has)
     return {"recall": np.asarray(rc)[sel], "recall_nogc": np.asarray(ng)[sel],
-            "semi": np.asarray(sm)[sel]}
+            "semi": np.asarray(sm)[sel], "gt_dropped": dropped}

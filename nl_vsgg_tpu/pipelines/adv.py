@@ -163,14 +163,25 @@ def filter_triplets(triplet_groups) -> list[list[tuple]]:
 
 def broadcast_triplets(triplets_per_sentence: list[list[tuple]],
                        mapped_frame: list[list[int]],
-                       num_frames: int) -> list[list[tuple]]:
-    """Sentence triplets -> per-frame deduped triplet lists (:219-230)."""
+                       num_frames: int) -> list[list[tuple]] | None:
+    """Sentence triplets -> per-frame deduped triplet lists (:219-230).
+
+    Returns None for an error-case video: a sentence/mapping length mismatch
+    (zip would silently misalign every subsequent sentence's triplets) or an
+    out-of-range mapped frame id. The reference collects both into
+    `error_case` intending to delete those videos (:216,:224); its deletion
+    loop is itself buggy (`del ...[k]` iterates error_case but deletes a
+    leaked loop variable, :231-232 — KeyError with two error cases) so we
+    implement the intent, not the crash."""
+    if len(triplets_per_sentence) != len(mapped_frame):
+        return None
     per_frame: list[list[tuple]] = [[] for _ in range(num_frames)]
     for triplets, frames in zip(triplets_per_sentence, mapped_frame):
         for tri in triplets:
             for f in frames:
-                if f < num_frames:
-                    per_frame[f].append((tri[0], tri[1], tri[2]))
+                if f >= num_frames:
+                    return None
+                per_frame[f].append((tri[0], tri[1], tri[2]))
     return [list(set(t)) for t in per_frame]
 
 

@@ -67,9 +67,11 @@ def run_tcs(captions: Mapping[str, str], video_ids: Sequence[str], llm: LLMFn,
             out[vid].append(parse_tcs_response(r))
     if apply_manual_fixes:
         for (vid, i, j), text in MANUAL_FIXES.items():
+            if vid not in out:  # defaultdict access would INSERT an empty
+                continue        # video entry into the returned artifact
             try:
                 out[vid][i][j] = text
-            except (KeyError, IndexError):
+            except IndexError:
                 pass
     return dict(out)
 

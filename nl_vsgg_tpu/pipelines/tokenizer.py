@@ -46,10 +46,17 @@ def whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+# CLIP's pre-tokenizer uses the `regex` module's \p{L}/\p{N}; Python re
+# equivalents: [^\W\d_] = unicode letter, \d = unicode decimal digit, and
+# the punctuation bucket is "not whitespace, not letter, not digit"
+# ((?:[^\s\w]|_)+ — \w minus letters/digits is exactly the underscore).
+# ASCII behavior is identical; non-ASCII letters (café, naïve) now stay in
+# the word bucket like the real CLIP/DAC tokenizer instead of falling into
+# punctuation. (\p{N} also covers Nl/No number forms \d does not — absent
+# from Charades captions.)
 _PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    .replace(r"[\p{L}]+", r"[a-zA-Z]+").replace(r"[\p{N}]", r"[0-9]")
-    .replace(r"[^\s\p{L}\p{N}]+", r"[^\sa-zA-Z0-9]+"),
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
     re.IGNORECASE)
 
 

@@ -101,7 +101,14 @@ def run_triplet_extraction(split_sentences: Mapping[str, list[list[str]]],
                     for j, s in enumerate(g):
                         if sentence.strip(".").lower() == s.lower():
                             idx, jdx = i, j
-                if idx >= 0 and triplets:
+                if idx == -1 and logger:
+                    # ref :111-112 prints the video id; its append then uses
+                    # the -1 indices, landing the triplets in the LAST
+                    # group's LAST sentence slot (negative-index quirk :129)
+                    logger.warning(f"{vid}: LLM echoed an unmatched Input "
+                                   f"sentence {sentence!r} — triplets land "
+                                   f"in the last sentence slot (ref quirk)")
+                if triplets:
                     record["triplets"][idx][jdx].extend(triplets)
                     any_triplet = True
         if ok and any_triplet:

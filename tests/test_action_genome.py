@@ -35,7 +35,12 @@ def train_fixture(tmp_path, rng):
         "vidA.mp4": {"frame_list": ["000001.png", "000033.png"]},
         "vidB.mp4": {"frame_list": ["000002.png"]},
     }
-    img_info = {"vidA.mp4": [600.0, 1000.0, 1.25], "vidB.mp4": [480.0, 640.0, 1.0]}
+    import torch
+    # vidA: our legacy plain-list form; vidB: the reference's (1, 3) float32
+    # torch-tensor artifact schema (extract_ag_img_info.py:32-34) — both must
+    # normalize to [h, w, scale] floats
+    img_info = {"vidA.mp4": [600.0, 1000.0, 1.25],
+                "vidB.mp4": torch.tensor([[480.0, 640.0, 1.0]])}
     _dump(tmp, "final_ag_data_w_neg.pkl", pseudo)
     _dump(tmp, "triplets_LLM4SGG.pkl", frame_list)
     _dump(tmp, "ag_img_info_train.pkl", img_info)
@@ -54,6 +59,8 @@ class TestAGTrain:
     def test_keep_single_frame_videos_when_asked(self, train_fixture):
         ds = AGTrain(train_fixture, remove_one_frame_video=False)
         assert ds.video_ids == ["vidA.mp4", "vidB.mp4"]
+        # the reference tensor artifact normalized to plain floats
+        assert ds.img_info[1] == [480.0, 640.0, 1.0]
 
     def test_action_statistics(self, train_fixture):
         ds = AGTrain(train_fixture, remove_one_frame_video=False)

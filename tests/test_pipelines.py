@@ -186,3 +186,43 @@ class TestNegatives:
         # disjoint equal squares in a 30x30 enclosure
         g = negatives.pair_giou(b1, b3)
         assert g == pytest.approx(0.0 - (900 - 200) / 900)
+
+
+def test_manual_fixes_do_not_insert_empty_videos():
+    """Applying MANUAL_FIXES for absent videos must not pollute the returned
+    dict with empty entries via defaultdict access."""
+    out = tcs.run_tcs({"v9.mp4": "a caption"}, ["v9.mp4"],
+                      lambda p: TestTCS.RESPONSE)
+    assert set(out) == {"v9.mp4"}
+
+
+def test_broadcast_triplets_error_cases():
+    """Reference error_case semantics (ADV.py:216,224): a sentence/mapping
+    length mismatch or an out-of-range mapped frame drops the video (the
+    reference's own deletion loop is buggy; we implement the intent)."""
+    tris = [[("person", "holding", "cup")], [("person", "holding", "dish")]]
+    assert adv.broadcast_triplets(tris, [[0]], num_frames=3) is None
+    assert adv.broadcast_triplets(tris, [[0], [7]], num_frames=3) is None
+    ok = adv.broadcast_triplets(tris, [[0], [2]], num_frames=3)
+    assert ok is not None and ok[2] == [("person", "holding", "dish")]
+
+
+def test_prompts_byte_identical_to_reference():
+    """The prompt templates are behavioral data: a temperature-0 rerun must
+    send byte-identical token sequences to reproduce the reference's
+    artifacts — including the trailing spaces its f-string literals carry."""
+    import os
+    import re as _re
+
+    ref = "/root/reference"
+    if not os.path.isdir(ref):
+        pytest.skip("reference not mounted")
+    from nl_vsgg_tpu.pipelines.prompts import TCS_PROMPT, TRIPLET_PROMPT_HEADER
+    tcs_src = open(os.path.join(ref, "NL-VSGG", "TCS.py")).read()
+    tri_src = open(os.path.join(ref, "NL-VSGG", "extract_triplet.py")).read()
+    ref_tcs = _re.search(r"prompt=f'''(.*?)'''", tcs_src, _re.S).group(1)
+    ref_tri = _re.search(r"f'''(.*?)'''", tri_src, _re.S).group(1)
+    assert TCS_PROMPT.format(input_caption="XQ") == \
+        ref_tcs.replace("{input_caption}", "XQ")
+    assert TRIPLET_PROMPT_HEADER.format(n=7) == \
+        ref_tri.replace("{len(sentence_list)}", "7")

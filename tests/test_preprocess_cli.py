@@ -48,7 +48,11 @@ def test_offline_pipeline_cli_chain(tmp_path, monkeypatch):
     _run(monkeypatch, pre, ["img-info", "--frames", str(tmp_path / "frames"),
                             "--output", info_pkl])
     info = pickle.load(open(info_pkl, "rb"))
-    assert info[vid] == [600, 800, 1.25]
+    # reference artifact schema: (1, 3) float32 tensor/array [bh, bw, scale]
+    # with the UNCAPPED 600/min scale (extract_ag_img_info.py:27,32-34)
+    assert tuple(info[vid].shape) == (1, 3)
+    np.testing.assert_allclose(np.asarray(info[vid]).reshape(-1),
+                               [600.0, 800.0, 1.25])
 
     # ---- tcs: caption -> chronologically split sentences ----
     csv_path = str(tmp_path / "captions.csv")

@@ -50,3 +50,14 @@ def test_whitespace_and_case_normalization(tok):
     a = tok.tokenize("THE   PERSON")
     b = tok.tokenize("the person")
     np.testing.assert_array_equal(a, b)
+
+
+def test_non_ascii_letters_stay_in_word_bucket(tok):
+    """CLIP's \\p{L}+ keeps accented words whole; the earlier ASCII-only
+    pattern split 'café' into 'caf' + punctuation-'é' (different tokens,
+    different text embedding than the reference DAC pipeline)."""
+    from nl_vsgg_tpu.pipelines.tokenizer import _PAT
+    assert _PAT.findall("café au lait") == ["café", "au", "lait"]
+    assert _PAT.findall("naïve person!") == ["naïve", "person", "!"]
+    # underscore and digits stay in their CLIP buckets
+    assert _PAT.findall("a_b 12") == ["a", "_", "b", "1", "2"]

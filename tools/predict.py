@@ -52,7 +52,7 @@ import jax
 import jax.numpy as jnp
 
 from nl_vsgg_tpu.data import schema
-from nl_vsgg_tpu.train import create_train_state, make_eval_step, make_optimizer, place_entries, stack_entries
+from nl_vsgg_tpu.train import create_train_state, make_eval_step, make_optimizer, place_entries
 from nl_vsgg_tpu.utils.checkpoint import restore_checkpoint
 from nl_vsgg_tpu.utils.config import load_config
 from nl_vsgg_tpu.utils.logging import setup_logger
@@ -71,15 +71,23 @@ class UnlabeledVideos:
             if os.path.isdir(os.path.join(features_root, d)))
         if not vids:
             raise SystemExit(f"no video directories under {features_root}")
-        self.video_ids = vids
+        self.video_ids = []
         self.video_list = []
+        self.skipped: list[str] = []
         for vid in vids:
             vdir = os.path.join(features_root, vid)
             frames = sorted(d for d in os.listdir(vdir)
                             if os.path.isdir(os.path.join(vdir, d)))
             if not frames:
-                raise SystemExit(f"video {vid} has no frame directories")
+                # one stray/empty directory must not abort a batch export —
+                # the tool's fault isolation is per-video everywhere else
+                self.skipped.append(vid)
+                continue
+            self.video_ids.append(vid)
             self.video_list.append([os.path.join(vid, f) for f in frames])
+        if not self.video_ids:
+            raise SystemExit(f"no video with frame directories under "
+                             f"{features_root}")
         self.gt_annotations = [[[] for _ in fl] for fl in self.video_list]
 
     def __len__(self):
@@ -165,6 +173,8 @@ def main():
     logger = setup_logger()
     tax = schema.load_taxonomy()
     ds = UnlabeledVideos(args.features_dir, args.videos)
+    for vid in ds.skipped:
+        logger.warning(f"{vid}: no frame directories (skipped)")
     logger.info(f"videos to export: {len(ds)}")
 
     if args.dsg_detr:

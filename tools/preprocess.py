@@ -35,6 +35,16 @@ from nl_vsgg_tpu.detector.attr_rcnn import compute_scale
 
 
 def cmd_img_info(args):
+    """ag_img_info_{train,test}.pkl in the REFERENCE's exact artifact schema:
+    {video: (1, 3) float32 torch tensor [blob_h, blob_w, scale]} with
+    scale = 600 / min(h, w) UNCAPPED — prep_im_for_blob's max_size branch is
+    commented out in the reference (fasterRCNN/lib/model/utils/blob.py:46-47,
+    extract_ag_img_info.py:27,32-34) — so reference-produced and repo-produced
+    pickles interoperate byte-for-byte in structure. NB this artifact's scale
+    intentionally differs from the VinVL feature-extraction scale
+    (compute_scale's capped 600/1000 maskrcnn resize): the reference carries
+    the same inconsistency, and the only live consumer divides h, w by scale
+    to recover the original size (ref tools/train_DSG_DETR.py:134)."""
     import cv2
     out = {}
     for vid in sorted(os.listdir(args.frames)):
@@ -46,8 +56,16 @@ def cmd_img_info(args):
             continue
         img = cv2.imread(os.path.join(vdir, frames[0]))
         h, w = img.shape[:2]
-        scale = compute_scale(h, w)
-        out[vid] = [round(h * scale), round(w * scale), scale]
+        scale = 600.0 / min(h, w)
+        # blob dims = cv2.resize's rounded output size (all frames of an AG
+        # video share a size, so the blob max == the first frame's dims)
+        info = np.array([[round(h * scale), round(w * scale), scale]],
+                        np.float32)
+        try:
+            import torch
+            out[vid] = torch.from_numpy(info)
+        except ImportError:  # torch-free host: same shape/values as ndarray
+            out[vid] = info
     with open(args.output, "wb") as f:
         pickle.dump(out, f)
     print(f"wrote {len(out)} videos -> {args.output}")
@@ -194,6 +212,9 @@ def cmd_adv(args):
         mapped = adv.align_video(emb[vid]["text"], emb[vid]["frames"], beta=args.beta)
         tri = adv.filter_triplets(rec["triplets"])
         per_frame = adv.broadcast_triplets(tri, mapped, len(rec["frame_list"]))
+        if per_frame is None:  # reference error_case: drop the video
+            print(f"{vid}: sentence/frame alignment mismatch (video dropped)")
+            continue
         semi[vid] = {"frame_list": rec["frame_list"],
                      "split_sentence": [s for g in rec["split_sentence"] for s in g],
                      "triplets": per_frame, "mapped_frame": mapped}
@@ -217,13 +238,23 @@ def cmd_negatives(args):
     with open(args.semi, "rb") as f:
         semi = pickle.load(f)
 
-    def giou_fn(vid, frame_list, f, obj):
-        fdir = os.path.join(args.features, vid, frame_list[f])
+    from functools import lru_cache
+
+    @lru_cache(maxsize=4096)  # several objects query the same frame; don't
+    # re-unpickle dets.npy once per (object, frame) pair
+    def load_dets(vid, frame):
+        fdir = os.path.join(args.features, vid, frame)
         dets = np.load(os.path.join(fdir, "dets.npy"), allow_pickle=True).tolist()
         if not dets:
             return None
-        classes = np.asarray([d["class"] for d in dets])
-        rects = np.asarray([d["rect"] for d in dets])
+        return (np.asarray([d["class"] for d in dets]),
+                np.asarray([d["rect"] for d in dets]))
+
+    def giou_fn(vid, frame_list, f, obj):
+        loaded = load_dets(vid, frame_list[f])
+        if loaded is None:
+            return None
+        classes, rects = loaded
         return frame_person_object_giou(classes, rects, obj, tax)
 
     for vid, rec in semi.items():

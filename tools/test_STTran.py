@@ -124,6 +124,12 @@ def main(argv=None, build_model_fn=build_model):
             r = np.concatenate([d[name] for d in device_recalls])
             logger.info("device %s: R@10 %.4f R@20 %.4f R@50 %.4f"
                         % (name, *r.mean(0)))
+        dropped = sum(d.get("gt_dropped", 0) for d in device_recalls)
+        if dropped:
+            logger.warning(
+                f"device R@K excluded {dropped} GT relations past the "
+                f"frame/relation buckets — the host numbers above are the "
+                f"source of truth (raise f_bucket/g_max to compare)")
 
 
 if __name__ == "__main__":
