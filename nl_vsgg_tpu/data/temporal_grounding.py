@@ -60,16 +60,24 @@ def propagate(frames: list[FrameDetections], seeds: dict[int, list[PropagatedBox
 
     Returns {frame: [PropagatedBox...]} of newly grounded boxes.
     """
+    # Reference source update (lib/assign_pseudo_label.py:267-268 "Update"):
+    # after EVERY visited frame the source set becomes that frame's class
+    # boxes — the newly propagated ones for walked frames, the known
+    # grounding (`seeds`) for skipped frames. A frame where the IoU gate
+    # admits nothing therefore KILLS the chain; it must not bridge the gap
+    # with a stale source (the walk would ground boxes the reference math
+    # never produces).
     out: dict[int, list[PropagatedBox]] = {}
     sources: list[PropagatedBox] = []
     for f in frame_order:
-        sources = seeds.get(f, sources)
-        if f in skip_frames or not sources:
+        if f in seeds:
+            sources = seeds[f]
+        if f in skip_frames:
             continue
         dets = frames[f]
-        if len(dets.classes) == 0:
+        if not sources or len(dets.classes) == 0:
+            sources = []  # Update: no class boxes at f -> chain dead
             continue
-        new_sources: list[PropagatedBox] = []
         for src in sources:
             ious = _iou_1_to_many(np.asarray(src.rect, np.float64),
                                   dets.rects.astype(np.float64))
@@ -77,7 +85,6 @@ def propagate(frames: list[FrameDetections], seeds: dict[int, list[PropagatedBox
             if force_ground:
                 cand[ious.argmax()] = True  # :252-254
             if not cand.any():
-                new_sources.append(src)  # source persists unchanged
                 continue
             sims = _cosine_1_to_many(np.asarray(src.feat, np.float64),
                                      dets.feats.astype(np.float64))
@@ -87,8 +94,7 @@ def propagate(frames: list[FrameDetections], seeds: dict[int, list[PropagatedBox
                                conf=float(src.conf) * float(ious[pick]),
                                feat=dets.feats[pick].copy())
             out.setdefault(f, []).append(pb)
-            new_sources.append(pb)  # propagated box feeds the next frame
-        sources = new_sources
+        sources = out.get(f, [])  # Update (:268)
     return out
 
 

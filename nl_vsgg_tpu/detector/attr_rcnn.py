@@ -44,8 +44,11 @@ MIN_SIZE, MAX_SIZE = 600, 1000
 
 def compute_scale(h: int, w: int, min_size: int = MIN_SIZE,
                   max_size: int = MAX_SIZE) -> float:
-    """maskrcnn Resize.get_size scale for an (h, w) image
-    (== NL-VSGG/data_preprocess/extract_ag_img_info.py's 600/1000 rescale)."""
+    """maskrcnn Resize.get_size min-side scale for an (h, w) image
+    (600/1000 rescale). NB the resized NON-min dimension truncates —
+    `int(size * h / w)` (dataloader/transforms.py:102-105) — so pixel-exact
+    sizes come from resize_hw, not h*scale; this scalar remains for coarse
+    uses (bucket hints)."""
     size = min_size
     mn, mx = min(h, w), max(h, w)
     if mx / mn * size > max_size:
@@ -55,19 +58,51 @@ def compute_scale(h: int, w: int, min_size: int = MIN_SIZE,
     return size / mn
 
 
+def resize_hw(h: int, w: int, min_size: int = MIN_SIZE,
+              max_size: int = MAX_SIZE) -> tuple[int, int]:
+    """maskrcnn Resize.get_size_with_aspect_ratio, EXACT
+    (dataloader/transforms.py:83-107): min side -> `size` (itself
+    int(round(...)) under the max_size cap), the other dimension TRUNCATES
+    (int(size * h / w)); a 500x333 image resizes to 900x600, not 901x600."""
+    size = min_size
+    mn, mx = min(h, w), max(h, w)
+    if mx / mn * size > max_size:
+        size = int(round(max_size * mn / mx))
+    if (w <= h and w == size) or (h <= w and h == size):
+        return h, w
+    if w < h:
+        return int(size * h / w), size
+    return size, int(size * w / h)
+
+
 def preprocess(image_bgr: np.ndarray, bucket_hw: tuple[int, int] | None = None):
-    """BGR uint8 (H, W, 3) -> (padded float32 NHWC, scale, (new_h, new_w))."""
+    """BGR uint8 (H, W, 3) -> (padded float32 NHWC, box_scale, (new_h, new_w)).
+
+    `box_scale` is the (4,) per-axis [sx, sy, sx, sy] xyxy multiplier: with
+    the truncating resize the two axes' ratios differ slightly, and the
+    reference resizes BoxLists with per-axis ratios too
+    (dataloader/transforms.py:121-125)."""
     import cv2
     h, w = image_bgr.shape[:2]
-    scale = compute_scale(h, w)
-    nh, nw = int(round(h * scale)), int(round(w * scale))
+    nh, nw = resize_hw(h, w)
     img = cv2.resize(image_bgr, (nw, nh), interpolation=cv2.INTER_LINEAR)
     img = img.astype(np.float32) - PIXEL_MEAN_BGR
     if bucket_hw is None:
         bucket_hw = (int(np.ceil(nh / 32)) * 32, int(np.ceil(nw / 32)) * 32)
     out = np.zeros((bucket_hw[0], bucket_hw[1], 3), np.float32)
     out[:nh, :nw] = img
-    return out, scale, (nh, nw)
+    box_scale = np.asarray([nw / w, nh / h, nw / w, nh / h], np.float32)
+    return out, box_scale, (nh, nw)
+
+
+def video_bucket_hw(frame_images_bgr: list[np.ndarray]) -> tuple[int, int]:
+    """Shared padded bucket for a video: the 32-ceil of the per-frame EXACT
+    resized sizes. (Deriving it from compute_scale(max_h, max_w) does not
+    upper-bound mixed-aspect frames — a 500x1000 frame resizes wider than a
+    800x600 frame's bucket — and overflowed preprocess's slice write.)"""
+    sizes = [resize_hw(i.shape[0], i.shape[1]) for i in frame_images_bgr]
+    return (int(np.ceil(max(s[0] for s in sizes) / 32)) * 32,
+            int(np.ceil(max(s[1] for s in sizes) / 32)) * 32)
 
 
 class AttrRCNNModule(nn.Module):
@@ -174,16 +209,20 @@ class AttrRCNNJax:
 
         def detect_batch(variables, images, anchors, im_hw):
             """Whole-video pass: one backbone call over all frames, RPN +
-            box head vmapped per frame. images (F, H, W, 3) same bucket."""
+            box head vmapped per frame. images (F, H, W, 3) same bucket;
+            im_hw (F, 2) per-frame valid extents (frames may differ in
+            size inside the shared padded bucket)."""
             c4 = apply(variables, images, method="features")
             logits, deltas = apply(variables, c4, method="rpn")
+            if im_hw.ndim == 1:  # legacy single-extent callers
+                im_hw = jnp.broadcast_to(im_hw, (images.shape[0], 2))
 
-            def per_frame(c4f, lg, dl):
+            def per_frame(c4f, lg, dl, hw_f):
                 proposals, pvalid = select_proposals(
-                    anchors, lg.reshape(-1), dl.reshape(-1, 4), im_hw,
+                    anchors, lg.reshape(-1), dl.reshape(-1, 4), hw_f,
                     post_nms_top_n=self.max_proposals)
                 cls, bd, feats77 = apply(variables, c4f, proposals, method="box")
-                dets = postprocess_detections(cls, bd, proposals, pvalid, im_hw,
+                dets = postprocess_detections(cls, bd, proposals, pvalid, hw_f,
                                               max_dets=self.max_dets)
                 feats = feats77.mean(axis=(-3, -2))
                 return jnp.concatenate([
@@ -193,7 +232,7 @@ class AttrRCNNJax:
                     dets["valid"][:, None].astype(jnp.float32),
                     feats[dets["box_index"]]], axis=1)
 
-            return jax.vmap(per_frame)(c4, logits, deltas)
+            return jax.vmap(per_frame)(c4, logits, deltas, im_hw)
 
         def box_feats_frames(variables, images, boxes, frame_idx):
             """RoI features for boxes spread across frames: one backbone pass
@@ -224,7 +263,7 @@ class AttrRCNNJax:
                              preprocessed: bool = False) -> np.ndarray:
         """-> (N, 7, 7, 2048) RoI features, boxes in original image coords."""
         if preprocessed:
-            img, scale = image, 1.0
+            img, scale = image, np.ones(4, np.float32)
         else:
             img, scale, _ = preprocess(image)
         feats = self._box_feats(self.variables, jnp.asarray(img)[None],
@@ -237,17 +276,14 @@ class AttrRCNNJax:
         """(R, 7, 7, 2048) RoI features for boxes scattered across frames —
         ONE backbone pass + ONE frame-indexed RoIAlign + ONE C5 pass for the
         whole video (replaces per-frame extraction loops)."""
-        h = max(i.shape[0] for i in frame_images_bgr)
-        w = max(i.shape[1] for i in frame_images_bgr)
-        s = compute_scale(h, w)
-        hw = (int(np.ceil(h * s / 32)) * 32, int(np.ceil(w * s / 32)) * 32)
+        hw = video_bucket_hw(frame_images_bgr)
         imgs, scales = [], []
         for img in frame_images_bgr:
             p, sc, _ = preprocess(img, bucket_hw=hw)
             imgs.append(p)
             scales.append(sc)
         scale_per_box = np.asarray(scales, np.float32)[np.asarray(frame_idx)]
-        boxes = np.asarray(boxes_xyxy, np.float32) * scale_per_box[:, None]
+        boxes = np.asarray(boxes_xyxy, np.float32) * scale_per_box
         feats = self._box_feats_frames(
             self.variables, jnp.asarray(np.stack(imgs)), jnp.asarray(boxes),
             jnp.asarray(frame_idx, jnp.int32))
@@ -258,10 +294,7 @@ class AttrRCNNJax:
         through the backbone, one host transfer for all outputs) — the
         offline extraction path (vs the reference's per-frame batch-4 loop,
         NL-VSGG/data_preprocess/extract_bbox_features_ag.py:78)."""
-        h = max(i.shape[0] for i in frame_images_bgr)
-        w = max(i.shape[1] for i in frame_images_bgr)
-        s = compute_scale(h, w)
-        hw = (int(np.ceil(h * s / 32)) * 32, int(np.ceil(w * s / 32)) * 32)
+        hw = video_bucket_hw(frame_images_bgr)
         imgs, scales, sizes = [], [], []
         for img in frame_images_bgr:
             p, sc, (nh, nw) = preprocess(img, bucket_hw=hw)
@@ -269,8 +302,9 @@ class AttrRCNNJax:
             scales.append(sc)
             sizes.append((nh, nw))
         anchors = jnp.asarray(grid_anchors(hw[0] // 16, hw[1] // 16))
-        im_hw = jnp.asarray([max(z[0] for z in sizes),
-                             max(z[1] for z in sizes)], jnp.float32)
+        # per-frame clip extents: clipping every frame to the video max let a
+        # smaller frame's detections extend into its zero-padded region
+        im_hw = jnp.asarray(sizes, jnp.float32)
         packed = np.asarray(self._detect_batch(
             self.variables, jnp.asarray(np.stack(imgs)), anchors, im_hw))
         out = []
@@ -296,12 +330,8 @@ class AttrRCNNJax:
         serves RoI crops through the matmul RoIAlign + C5 head.
         """
         imgs, scales = [], []
-        hw = bucket_hw
-        if hw is None:
-            h = max(i.shape[0] for i in frame_images_bgr)
-            w = max(i.shape[1] for i in frame_images_bgr)
-            s = compute_scale(h, w)
-            hw = (int(np.ceil(h * s / 32)) * 32, int(np.ceil(w * s / 32)) * 32)
+        hw = bucket_hw if bucket_hw is not None \
+            else video_bucket_hw(frame_images_bgr)
         for img in frame_images_bgr:
             p, s, _ = preprocess(img, bucket_hw=hw)
             imgs.append(p)

@@ -45,7 +45,8 @@ def _xyxy_to_xywh(b):
 
 
 def _giou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    from ..eval.recall import np_iou  # +1 convention NOT wanted here
+    # DETR-style 0-area convention, matching the reference's
+    # models/box_ops.py::generalized_box_iou used by clean_bbox's alignment
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
@@ -64,19 +65,22 @@ def _giou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _nms(boxes: np.ndarray, scores: np.ndarray, thresh: float) -> np.ndarray:
-    """Classic greedy NMS (torchvision semantics, 0-area convention)."""
+    """Classic greedy NMS with the LEGACY +1-pixel convention: the tracker's
+    reference NMS is fasterRCNN's `_C.nms` (lib/track.py:2,95 -> csrc
+    nms.cu:16-19, `right - left + 1`), not torchvision's 0-area form —
+    near-threshold overlaps keep/suppress differently between the two."""
     order = np.argsort(-scores)
     keep = []
     suppressed = np.zeros(len(boxes), bool)
-    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    areas = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
     for i in order:
         if suppressed[i]:
             continue
         keep.append(i)
         iw = (np.minimum(boxes[i, 2], boxes[:, 2])
-              - np.maximum(boxes[i, 0], boxes[:, 0])).clip(min=0)
+              - np.maximum(boxes[i, 0], boxes[:, 0]) + 1).clip(min=0)
         ih = (np.minimum(boxes[i, 3], boxes[:, 3])
-              - np.maximum(boxes[i, 1], boxes[:, 1])).clip(min=0)
+              - np.maximum(boxes[i, 1], boxes[:, 1]) + 1).clip(min=0)
         iou = iw * ih / np.maximum(areas[i] + areas - iw * ih, 1e-9)
         suppressed |= iou > thresh
     return np.asarray(keep, np.int64)
@@ -141,7 +145,13 @@ def clean_bbox(box_frame, boxes, features, distribution, labels):
                 mapping[counts + int(al)].append(int(sel[inds[order[ind]]]))
             counts += len(keep)
         box_counts += len(sel)
-    cat = lambda xs: (np.concatenate(xs, 0) if xs else np.zeros((0,)))
+    if not final_boxes:  # e.g. every box sits in the (skipped) last frame:
+        # rank-correct empties keep downstream argmax(1)/indexing working
+        return (np.zeros(0, np.int32), np.zeros((0, 4), boxes.dtype),
+                np.zeros((0, features.shape[-1]), features.dtype),
+                np.zeros((0, distribution.shape[-1]), distribution.dtype),
+                np.zeros(0, labels.dtype), mapping)
+    cat = lambda xs: np.concatenate(xs, 0)
     return (cat(final_frames), cat(final_boxes), cat(final_feats),
             cat(final_dists), cat(final_labels), mapping)
 

@@ -64,7 +64,9 @@ bool parse_npy_header(FILE* f, int64_t* rows, int64_t* cols, long* data_off) {
 }
 
 // Read one float32 .npy into out (capacity max_rows*cols floats).
-// Returns rows read (truncated at max_rows), or -1 on failure.
+// Returns the file's TRUE row count (reading at most max_rows rows), or -1
+// on failure — a return value > max_rows signals truncation, which the
+// Python wrapper must surface (silent loss would be undetectable).
 int64_t read_npy_f32(const char* path, float* out, int64_t max_rows,
                      int64_t expect_cols) {
     FILE* f = fopen(path, "rb");
@@ -80,7 +82,7 @@ int64_t read_npy_f32(const char* path, float* out, int64_t max_rows,
     size_t want = (size_t)(n * cols);
     size_t got = fread(out, sizeof(float), want, f);
     fclose(f);
-    return got == want ? n : -1;
+    return got == want ? rows : -1;
 }
 
 }  // namespace

@@ -150,6 +150,10 @@ class Config:
             v = getattr(self, name)
             if v not in ("float32", "bfloat16"):
                 raise ValueError(f"{name}={v!r}: expected 'float32' or 'bfloat16'")
+        if self.union_feat_cache_dtype not in ("float32", "float16"):
+            raise ValueError(
+                f"union_feat_cache_dtype={self.union_feat_cache_dtype!r}: "
+                f"expected 'float32' or 'float16'")
         if self.prng_impl not in ("rbg", "unsafe_rbg", "threefry2x32"):
             raise ValueError(f"prng_impl={self.prng_impl!r}: expected 'rbg', "
                              f"'unsafe_rbg' or 'threefry2x32'")

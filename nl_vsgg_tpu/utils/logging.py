@@ -72,9 +72,10 @@ class SmoothedValue:
 
     @property
     def median(self) -> float:
+        # torch.median (the reference's, lib/logger.py:33) returns the LOWER
+        # middle value for even-length windows, not the average
         d = sorted(self.deque)
-        n = len(d)
-        return d[n // 2] if n % 2 else 0.5 * (d[n // 2 - 1] + d[n // 2])
+        return d[(len(d) - 1) // 2]
 
     @property
     def avg(self) -> float:

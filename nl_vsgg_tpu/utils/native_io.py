@@ -67,15 +67,29 @@ def read_feat_batch(paths: list[str], cols: int, max_rows_each: int,
     padded array; returns (array, counts). Pure-numpy fallback when the
     native library is unavailable."""
     n = len(paths)
+
+    def warn_truncated(true_counts):
+        over = true_counts > max_rows_each
+        if over.any():
+            import warnings
+            warnings.warn(
+                f"{int(over.sum())} npy file(s) exceed max_rows={max_rows_each} "
+                f"(largest {int(true_counts.max())} rows); extra rows DROPPED "
+                f"(e.g. {paths[int(np.argmax(true_counts))]})")
+
     lib = get_lib()
     if lib is None:
         out = np.zeros((n, max_rows_each, cols), np.float32)
         counts = np.zeros(n, np.int64)
+        true_counts = np.zeros(n, np.int64)
         for i, p in enumerate(paths):
             a = np.load(p)
-            a = a.reshape(len(a), -1)[:max_rows_each]
+            a = a.reshape(len(a), -1)
+            true_counts[i] = len(a)
+            a = a[:max_rows_each]
             out[i, :len(a)] = a
             counts[i] = len(a)
+        warn_truncated(true_counts)
         return out, counts
 
     out = np.zeros((n, max_rows_each, cols), np.float32)
@@ -93,7 +107,10 @@ def read_feat_batch(paths: list[str], cols: int, max_rows_each: int,
     if (counts < 0).any():
         bad = [paths[i] for i in np.where(counts < 0)[0]]
         raise IOError(f"native npy read failed for {bad[:3]}...")
-    return out, counts
+    # the native reader returns TRUE file row counts; rows past max_rows_each
+    # were not read — warn like the pickle path does, then clamp
+    warn_truncated(counts)
+    return out, np.minimum(counts, max_rows_each)
 
 
 def pack_padded(src: np.ndarray, row_counts: np.ndarray,

@@ -120,6 +120,31 @@ class TestAnchorsAndDecode:
         assert compute_scale(300, 1000) == pytest.approx(round(1000 * 300 / 1000) / 300)
         assert compute_scale(600, 800) == 1.0
 
+    def test_resize_hw_truncates_like_maskrcnn(self):
+        # Resize.get_size computes the non-min dimension with int(size*h/w)
+        # (TRUNCATION, dataloader/transforms.py:102-105): 500x333 -> 900x600,
+        # not round(500*600/333)=901
+        from nl_vsgg_tpu.detector.attr_rcnn import resize_hw
+        assert resize_hw(500, 333) == (900, 600)
+        assert resize_hw(333, 500) == (600, 900)
+        assert resize_hw(600, 800) == (600, 800)   # min side already == size
+        # capped: size = int(round(1000*300/1000)) = 300 == min -> unchanged
+        assert resize_hw(300, 1000) == (300, 1000)
+
+    def test_video_bucket_covers_mixed_aspect_frames(self):
+        # deriving the bucket from compute_scale(max_h, max_w) under-bounds
+        # mixed aspect ratios and overflowed preprocess's slice write
+        from nl_vsgg_tpu.detector.attr_rcnn import (preprocess,
+                                                    video_bucket_hw)
+        frames = [np.zeros((500, 1000, 3), np.uint8),
+                  np.zeros((800, 600, 3), np.uint8)]
+        hw = video_bucket_hw(frames)
+        for img in frames:
+            p, sc, (nh, nw) = preprocess(img, bucket_hw=hw)  # must not raise
+            assert p.shape[:2] == hw and nh <= hw[0] and nw <= hw[1]
+            h, w = img.shape[:2]
+            np.testing.assert_allclose(sc, [nw / w, nh / h, nw / w, nh / h])
+
 
 class TestProposals:
     def test_select_proposals_orders_and_nms(self, rng):

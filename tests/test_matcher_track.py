@@ -99,3 +99,35 @@ def test_track_video_sgcls_clusters(rng):
     assert len(set(a_groups.tolist())) == 1
     assert len(set(b_groups.tolist())) == 1
     assert a_groups[0] != b_groups[0]
+
+
+def test_tracker_nms_uses_plus_one_convention():
+    """The tracker's reference NMS is fasterRCNN's _C.nms (+1 pixel areas,
+    csrc nms.cu:16-19): boxes [0,0,4,4] vs [1,1,5,5] at threshold 0.4 overlap
+    16/34=0.47 under +1 (suppress) but 9/23=0.39 under the 0-area convention
+    (keep) — the keep set must follow the reference."""
+    from nl_vsgg_tpu.models.track import _nms
+
+    boxes = np.array([[0, 0, 4, 4], [1, 1, 5, 5]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    keep = _nms(boxes, scores, 0.4)
+    assert list(keep) == [0]  # +1 convention suppresses the second box
+
+
+def test_clean_bbox_all_boxes_in_last_frame_returns_empty():
+    """range(last_frame) skips the final frame (reference quirk); when every
+    box sits there the empties must be rank-correct so track_video's
+    argmax(1) does not crash."""
+    from nl_vsgg_tpu.models.track import clean_bbox, track_video
+
+    bf = np.array([2, 2], np.int32)
+    boxes = np.array([[0, 0, 10, 10], [5, 5, 15, 15]], np.float32)
+    feats = np.zeros((2, 8), np.float32)
+    dists = np.tile(np.array([[0.9, 0.1]], np.float32), (2, 1))
+    labels = np.array([1, 1], np.int64)
+    fr, bx, ft, ds_, lb, mapping = clean_bbox(bf, boxes, feats, dists, labels)
+    assert bx.shape == (0, 4) and ft.shape == (0, 8) and ds_.shape == (0, 2)
+    # must not crash on the rank-correct empties (argmax(1) on (0, C))
+    clusters = track_video("sgcls", bf, boxes, feats, dists, labels,
+                           frame_keys=[0, 1, 2], im_size=(480.0, 640.0))
+    assert isinstance(clusters, list)

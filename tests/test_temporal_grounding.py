@@ -78,3 +78,20 @@ def test_cosine_picks_matching_feature(rng):
     seed = PropagatedBox(frame=0, rect=f0.rects[0], conf=1.0, feat=f0.feats[0])
     out = propagate([f0, f1], {1: [seed]}, [1], set(), threshold=0.3)
     np.testing.assert_allclose(out[1][0].rect, f1.rects[1])
+
+
+def test_gap_kills_the_chain(rng):
+    """Reference 'Update' semantics (lib/assign_pseudo_label.py:267-268): the
+    source becomes the visited frame's class boxes after EVERY step, so a
+    frame where the IoU gate admits nothing ends the walk — later frames must
+    not be grounded from a stale pre-gap source."""
+    frames, feat = _drifting_video(rng)
+    # frame 2's detections jump far away (gate fails), frame 3 would overlap
+    # the ORIGINAL track again
+    frames[2] = FrameDetections(
+        classes=frames[2].classes, confs=frames[2].confs,
+        rects=np.array([[500, 500, 550, 550], [300, 300, 350, 350]], np.float32),
+        feats=frames[2].feats)
+    seed = _seed(frames, 1, feat)
+    out = temporal_pseudo_ground(frames, {0: [seed], 1: [seed]}, threshold=0.5)
+    assert out == {}, "the chain must die at the gap, not bridge it"

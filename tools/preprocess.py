@@ -31,7 +31,6 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from nl_vsgg_tpu.data import schema
-from nl_vsgg_tpu.detector.attr_rcnn import compute_scale
 
 
 def cmd_img_info(args):
