@@ -80,9 +80,12 @@ def build_gt_entry(gt_annotation, mode: str, bucket_boxes: int, bucket_rels: int
             for i in np.unique(im):
                 sel = im == i
                 uf[sel] = union_feature_fn(int(i), union[sel])
-        from ..ops.union_masks import draw_union_boxes
+        from ..ops.union_masks import draw_union_boxes_np
         pair_rois = np.concatenate([boxes[pair_np[:, 0]], boxes[pair_np[:, 1]]], 1)
-        masks = (np.asarray(draw_union_boxes(pair_rois, MASK_P)) - 0.5).astype(np.float32)
+        # numpy twin: this runs on the host data path (prefetch workers) —
+        # the XLA version would dispatch to the default device per video
+        # (~2 tunnel round trips each; see data/grounding.py)
+        masks = (draw_union_boxes_np(pair_rois, MASK_P) - 0.5).astype(np.float32)
         scores = np.ones(n_boxes, np.float32)
         distribution = np.eye(schema.NUM_OBJ_CLASSES, dtype=np.float32)[labels][:, 1:]
     else:  # sgcls: VinVL-classified soft distributions (create_dis_list)
@@ -122,6 +125,4 @@ def build_gt_entry(gt_annotation, mode: str, bucket_boxes: int, bucket_rels: int
     return pad_entry(e, bucket_boxes, bucket_rels)
 
 
-def _softmax(x):
-    e = np.exp(x - x.max(-1, keepdims=True))
-    return e / e.sum(-1, keepdims=True)
+from ..eval.recall import np_softmax as _softmax  # noqa: E402

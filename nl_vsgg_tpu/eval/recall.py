@@ -35,6 +35,13 @@ import numpy as np
 from ..data import schema
 
 
+def np_softmax(x: np.ndarray) -> np.ndarray:
+    """Stable softmax over the last axis (the one host-side definition —
+    sgcls_infer and gt_entry import it rather than re-implementing)."""
+    e = np.exp(x - x.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
 def np_iou(boxes1: np.ndarray, boxes2: np.ndarray) -> np.ndarray:
     """Pairwise IoU, +1-pixel convention (bbox.pyx:21-61)."""
     b1 = np.asarray(boxes1, np.float64)
@@ -215,18 +222,14 @@ class SceneGraphEvaluator:
                 "gt_boxes": gt_boxes}
 
     # ---- prediction assembly (evaluation_recall.py:429-460) ----
-    @staticmethod
-    def _softmax(x):
-        e = np.exp(x - x.max(-1, keepdims=True))
-        return e / e.sum(-1, keepdims=True)
+    _softmax = staticmethod(np_softmax)
 
     def evaluate_scene_graph(self, gt, pred: dict) -> None:
         """gt: list over frames of annotation lists; pred: model output dict
         (+ 'boxes','pair_idx','im_idx' and optional masks) as numpy/jax."""
         if not pred:  # grounding produced nothing (train_STTran.py:221-224)
             for frame_gt in gt:
-                gt_entry = self._gt_entry(frame_gt)
-                ng = gt_entry["gt_relations"].shape[0]
+                gt_entry = self._gt_entry(frame_gt)  # mean-recall collectors
                 for k in self.recall:
                     self.recall[k].append(0.0)
                     self.recall_nogc[k].append(0.0)

@@ -207,8 +207,17 @@ class DSGDETR(nn.Module):
         # ---- temporal: same-object-class tracklets (:545-564) ----
         allow_t = (obj_cls[..., :, None] == obj_cls[..., None, :]) \
             & rmask[..., :, None] & rmask[..., None, :]
-        sub_row = entry.pair_idx[..., 0]
-        ranks = tracklet_rank(obj_cls, sub_row, rmask)
+        if self.mode == "sgdet":
+            sub_row = entry.pair_idx[..., 0]
+            ranks = tracklet_rank(obj_cls, sub_row, rmask)
+        else:
+            # sgcls/predcls pass pos_index=None (:559): the PE position is
+            # the relation's ORDINAL within its class sequence (flat-index
+            # order), not the unique-subject rank — duplicate non-modal
+            # classes in one frame get consecutive positions
+            R = obj_cls.shape[-1]
+            lower = jnp.tril(jnp.ones((R, R), bool), -1)
+            ranks = (allow_t & lower).sum(-1).astype(jnp.int32)
         g = SinusoidalPE(d_model, max_len=400, name="positional_encoder")(h, ranks, det)
         for i in range(self.dec_layer_num):
             g = Enc(d_model, 8, 2048, dtype=self.dtype, fused=self.fused,

@@ -81,12 +81,19 @@ def sttran_losses(pred: dict[str, jnp.ndarray], entry: Entry, rng: jax.Array,
     att_ce = cross_entropy(pred["attention_distribution"], att_label)
     losses["attention_relation_loss"] = _masked_mean(att_ce, att_rows)
 
-    sp_rows = entry.rel_mask & (entry.spatial_gt.sum(-1) > 0)
-    con_rows = entry.rel_mask & (entry.contacting_gt.sum(-1) > 0)
     if bce:
+        sp_rows = entry.rel_mask & (entry.spatial_gt.sum(-1) > 0)
+        con_rows = entry.rel_mask & (entry.contacting_gt.sum(-1) > 0)
         sp = bce_with_logits(pred["spatial_logits"], entry.spatial_gt).mean(-1)
         con = bce_with_logits(pred["contacting_logits"], entry.contacting_gt).mean(-1)
     else:
+        # margin mode masks by `(index_labels > 0).sum() != 0`
+        # (tools/train_STTran.py:171-172): a row whose ONLY GT id is
+        # predicate 0 is EXCLUDED from MultiLabelMarginLoss (its -1-padded
+        # label row [0, -1, ...] has no positive entry) — unlike BCE mode,
+        # where the multi-hot bit 0 keeps the row
+        sp_rows = entry.rel_mask & (entry.spatial_gt[..., 1:].sum(-1) > 0)
+        con_rows = entry.rel_mask & (entry.contacting_gt[..., 1:].sum(-1) > 0)
         sp = multilabel_margin(pred["spatial_logits"], entry.spatial_gt)
         con = multilabel_margin(pred["contacting_logits"], entry.contacting_gt)
     losses["spatial_relation_loss"] = _masked_mean(sp, sp_rows)

@@ -22,9 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 
-def _softmax(x):
-    e = np.exp(x - x.max(-1, keepdims=True))
-    return e / e.sum(-1, keepdims=True)
+from ..eval.recall import np_softmax as _softmax
 
 
 def sgcls_assign(logits37: np.ndarray, box_frame: np.ndarray):

@@ -165,7 +165,14 @@ class STTranTransformer(nn.Module):
         cat = partial(jnp.concatenate, axis=-1)
         window = cat([im_idx, im_idx - 1])                      # (2R,)
         slot = cat([jnp.zeros_like(im_idx), jnp.ones_like(im_idx)])
-        last_window = num_frames - 2  # windows are 0 .. F-2
+        # b = LAST RELATION-BEARING frame + 1, not the video's frame count:
+        # the reference sizes its window grid by `b = int(im_idx[-1] + 1)`
+        # (lib/transformer_wk.py:135), so trailing relation-less frames
+        # contribute no windows — a video whose relations all sit in frame 0
+        # has ZERO windows and passes the spatial output through even when
+        # the video itself has many frames
+        f_last = jnp.max(jnp.where(rel_mask, im_idx, 0))
+        last_window = f_last - 1  # windows are 0 .. b-2
         valid = cat([rel_mask & (im_idx <= last_window),         # former
                      rel_mask & (im_idx >= 1)])                  # latter
         allow_t = (window[..., :, None] == window[..., None, :]) \
@@ -203,7 +210,7 @@ class STTranTransformer(nn.Module):
             former, latter = tokens[..., :R, :], tokens[..., R:, :]
             mid = 0.5 * (former + latter)
             out = jnp.where((im_idx == 0)[..., None], former,
-                            jnp.where((im_idx == num_frames - 1)[..., None], latter, mid))
+                            jnp.where((im_idx == f_last)[..., None], latter, mid))
         else:  # 'latter' (shipped config, lib/sttran.py:358)
             # Only R of the 2R stream rows ever reach the output: the latter
             # row of each relation, except frame 0 which uses its former row.
@@ -223,8 +230,9 @@ class STTranTransformer(nn.Module):
                 & q_valid[..., :, None] & valid[..., None, :]
             out = dec[-1](q_tokens, pe[q_slot], allow_q, det,
                           kv=tokens, pos_kv=pos)
-        # single-frame videos: no windows exist -> spatial output passes through
-        out = jnp.where(num_frames > 1, out, local)
+        # no windows exist (all relations in frame 0, incl. single-frame
+        # videos) -> spatial output passes through (lib/transformer_wk.py:187)
+        out = jnp.where(f_last > 0, out, local)
         return jnp.where(rel_mask[..., None], out, 0.0)
 
 

@@ -113,7 +113,6 @@ def clean_bbox(box_frame, boxes, features, distribution, labels):
     final_frames = []
     mapping: dict[int, list[int]] = {}
     counts = 0
-    box_counts = 0
     last_frame = int(box_frame[-1])  # range(int(boxes[-1,0])): last frame skipped
     for i in range(last_frame):
         sel = np.where(box_frame == i)[0]
@@ -144,7 +143,6 @@ def clean_bbox(box_frame, boxes, features, distribution, labels):
             for ind, al in zip(not_keep, align):
                 mapping[counts + int(al)].append(int(sel[inds[order[ind]]]))
             counts += len(keep)
-        box_counts += len(sel)
     if not final_boxes:  # e.g. every box sits in the (skipped) last frame:
         # rank-correct empties keep downstream argmax(1)/indexing working
         return (np.zeros(0, np.int32), np.zeros((0, 4), boxes.dtype),
@@ -192,10 +190,13 @@ def track_video(mode: str, box_frame, boxes, features, distribution, labels,
 
     for index, current_key in enumerate(frame_keys):
         if index not in frame_rank:
-            # frame contributed no kept boxes; still age the tracks
+            # frame contributed no kept boxes; still age the tracks.
+            # ORDER MATTERS: `t.update(None, ...) or t.updated` is a
+            # tautology (update sets t.updated=True before answering), which
+            # made the 50-frame timeout dead on empty frames
             for t in tracks:
                 t.updated = False
-            tracks = [t for t in tracks if t.update(None, current_key) or t.updated]
+            tracks = [t for t in tracks if t.updated or t.update(None, current_key)]
             continue
         r0 = counts[frame_rank[index]]
         sel = np.where(frames_k == index)[0]

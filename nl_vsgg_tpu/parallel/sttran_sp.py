@@ -134,8 +134,12 @@ def sttran_transformer_sharded(mesh: Mesh, params, rel_features, im_idx,
     grid, gvalid, gather = rel_to_grid(rel_features, im_idx, rel_mask,
                                        n_frames_max, slots)
     frame_no = jnp.arange(n_frames_max)
+    # b-1 = last relation-bearing frame (lib/transformer_wk.py:135); windows
+    # exist over 0..b-2 regardless of trailing relation-less frames — must
+    # match models/sttran.py::STTranTransformer exactly
+    f_last = jnp.max(jnp.where(rel_mask, im_idx, 0))
 
-    def shard_fn(g, gv, fno):
+    def shard_fn(g, gv, fno, f_last):
         # ---- spatial encoder: same-frame attention, fully local ----
         allow_s = gv[..., :, None] & gv[..., None, :]
         local = g
@@ -144,7 +148,7 @@ def sttran_transformer_sharded(mesh: Mesh, params, rel_features, im_idx,
         local = jnp.where(gv[..., None], local, 0.0)
 
         # ---- temporal decoder: dual-stream windows with 1-frame halo ----
-        last_window = num_frames - 2
+        last_window = f_last - 1
         vA = gv & (fno[:, None] <= last_window)   # former stream validity
         vB = gv & (fno[:, None] >= 1)             # latter stream validity
         right_to_left = [(i + 1, i) for i in range(n - 1)]
@@ -178,12 +182,12 @@ def sttran_transformer_sharded(mesh: Mesh, params, rel_features, im_idx,
 
         # 'latter' fusion: frame 0 -> former stream, else latter stream
         out = jnp.where((fno[:, None, None] == 0), A, B)
-        # single-frame videos: spatial output passes through
-        out = jnp.where(num_frames > 1, out, local)
+        # no windows (all relations in frame 0): spatial output passes through
+        out = jnp.where(f_last > 0, out, local)
         return jnp.where(gv[..., None], out, 0.0)
 
     out_grid = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=P(axis))(grid, gvalid, frame_no)
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis))(grid, gvalid, frame_no, f_last)
     return grid_to_rel(out_grid, gather, rel_mask)

@@ -121,6 +121,41 @@ def test_transformer_wk_parity(mode, im_idx_list):
     np.testing.assert_allclose(np.asarray(got), ref_out, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("mode", ["latter", "both"])
+@pytest.mark.parametrize("im_idx_list,num_frames", [
+    ([0, 0, 0], 4),       # relations ONLY in frame 0 of a 4-frame video:
+                          # b = im_idx[-1]+1 = 1 -> ZERO windows -> the
+                          # reference passes the spatial output through
+    ([0, 0, 1, 1], 6),    # trailing relation-less frames: b=2, windows 0..0;
+                          # frame 1 is the LAST window frame ('both' takes
+                          # latter-only, not the averaged middle)
+])
+def test_transformer_wk_trailing_empty_frames(mode, im_idx_list, num_frames):
+    """The reference sizes its window grid by the LAST RELATION-BEARING frame
+    (b = int(im_idx[-1] + 1), lib/transformer_wk.py:135) — the video's total
+    frame count is irrelevant. Our module receives num_frames > b and must
+    still match."""
+    import jax.numpy as jnp
+    from nl_vsgg_tpu.models.sttran import STTranTransformer
+
+    enc, dec = 1, 2
+    ref = _load_reference_transformer(enc, dec, mode)
+    rng = np.random.default_rng(5)
+    R = len(im_idx_list)
+    feats = rng.standard_normal((R, E)).astype(np.float32)
+    im_idx = np.array(im_idx_list, dtype=np.int64)
+    with torch.no_grad():
+        ref_out, _, _ = ref(torch.from_numpy(feats), torch.from_numpy(im_idx))
+    model = STTranTransformer(embed_dim=E, num_heads=H, dim_feedforward=FF,
+                              dropout=0.0, enc_layers=enc, dec_layers=dec,
+                              mode=mode)
+    got = model.apply({"params": _port_params(ref, enc, dec)},
+                      jnp.asarray(feats), jnp.asarray(im_idx, jnp.int32),
+                      jnp.ones((R,), bool), jnp.int32(num_frames), train=False)
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_transformer_padding_invariance():
     """Padded relations must not change valid outputs."""
     import jax

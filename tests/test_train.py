@@ -68,10 +68,19 @@ class TestLossParity:
 
     def test_mlm_matches_torch(self, rng):
         entry = _entry(rng)
+        # force one valid row whose ONLY spatial GT is predicate 0: the
+        # reference's margin-mode mask `(index_labels > 0).sum() != 0`
+        # (tools/train_STTran.py:171) EXCLUDES it (its -1-padded label row
+        # [0, -1, ...] has no positive entry), unlike BCE mode
+        sg = np.asarray(entry.spatial_gt)
+        first_valid = int(np.where(np.asarray(entry.rel_mask))[0][0])
+        sg[first_valid] = 0.0
+        sg[first_valid, 0] = 1.0
         pred = self._fake_pred(rng, entry)
         out = L.sttran_losses(pred, entry, jax.random.key(0), bce=False)
         rm = np.asarray(entry.rel_mask)
-        rows = rm & (np.asarray(entry.spatial_gt).sum(-1) > 0)
+        rows = rm & (np.asarray(entry.spatial_gt)[:, 1:].sum(-1) > 0)
+        assert not rows[first_valid]
         # torch MultiLabelMarginLoss wants index-list labels padded with -1
         gt = np.asarray(entry.spatial_gt)[rows]
         labels = -np.ones_like(gt, dtype=np.int64)
