@@ -68,7 +68,9 @@ class GroundingPrefetcher:
                 return
             try:
                 self.out.put((idx, self.ground_fn(idx)))
-            except BaseException as e:  # surface worker failures to the consumer
+            except Exception as e:  # Exception, NOT BaseException: a worker
+                # KeyboardInterrupt/SystemExit must not silently become a
+                # skip slot
                 self._errors.append(e)
                 self.out.put((idx, None))
 
@@ -78,7 +80,13 @@ class GroundingPrefetcher:
         for t in self._threads:
             t.start()
         for _ in range(len(self.indices)):
-            yield self.out.get()
+            item = self.out.get()
+            if self._errors:
+                # fail loud NOW — deferring to end-of-epoch would score the
+                # rest of the split as skips first, and a consumer that stops
+                # early would never see the error at all
+                raise self._errors[0]
+            yield item
         for t in self._threads:
             t.join()
         if self._errors:

@@ -210,7 +210,19 @@ class DistributedBatcher:
                 # composition the cross-process agreement needs)
                 pending = ([ex.submit(self.ground_fn, i) for i in blocks[t + 1]]
                            if t + 1 < len(blocks) else None)
-                entries = [f.result() for f in futs]
+                entries = []
+                for i, f in zip(mine, futs):
+                    try:
+                        entries.append(f.result())
+                    except Exception as e:
+                        # one process raising here would leave the OTHERS
+                        # blocked forever in the per-batch all-gather below —
+                        # degrade to a skip slot (the valid-weighted step
+                        # ignores it), like the single-host prefetcher
+                        import logging
+                        logging.getLogger("nl_vsgg").warning(
+                            f"grounding video {i} failed ({e!r}) — skipped")
+                        entries.append(None)
                 hints = np.zeros((self.per_proc, 2), np.int32)
                 for j, e in enumerate(entries):
                     if e is not None:
@@ -224,18 +236,19 @@ class DistributedBatcher:
                     continue  # nothing groundable anywhere this batch
                 bb = int(all_hints[:, 0].max())
                 br = int(all_hints[:, 1].max())
-                local = [pad_entry(e, bb, br) if e is not None
-                         else empty_entry(bb, br, self.feat_dim)
-                         for e in entries]
                 if self.zero_union:
-                    # width-0 union channel BEFORE stacking: the models'
+                    # width-0 union channel BEFORE padding: the models'
                     # union_projection treats it as the exact bias-broadcast
-                    # fast path (models/sttran.py) — neither the ~38 MB/video
-                    # of host zeros nor any device zeros exist at all, and the
-                    # empty leaf rides the normal global-array path below
-                    local = [e.replace(union_feat=np.zeros(
+                    # fast path (models/sttran.py), and pad_entry must never
+                    # row-copy ~38 MB/video of zeros to the agreed global
+                    # bucket only to discard them
+                    entries = [e.replace(union_feat=np.zeros(
                         np.shape(e.union_feat)[:-1] + (0,), np.float32))
-                        for e in local]
+                        if e is not None else None for e in entries]
+                local = [pad_entry(e, bb, br) if e is not None
+                         else empty_entry(bb, br, self.feat_dim,
+                                          with_union_feat=not self.zero_union)
+                         for e in entries]
                 host = jax.tree.map(
                     lambda *xs: np.stack([np.asarray(x) for x in xs]), *local)
 

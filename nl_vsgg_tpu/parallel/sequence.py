@@ -71,8 +71,14 @@ def windowed_attention_reference(tokens, valid, params, pos, num_heads: int = 8)
     out[f] = attention of frame f's tokens (latter slot) over frames f-1, f;
     out[0] = frame 0 as the 'former' slot over frames 0, 1 (transformer_wk
     'latter' fusion, lib/transformer_wk.py:209-215).
+
+    Requires F >= 2 (the frame-0 correction statically indexes tokens[1];
+    single-frame videos skip the temporal stage entirely — see
+    models/sttran.py). This is the standalone DEMO op; the production
+    frame-sharded path is parallel/sttran_sp.py.
     """
     F, L, Dm = tokens.shape
+    assert F >= 2, f"windowed attention needs >= 2 frames, got {F}"
     halo = jnp.zeros((1, L, Dm), tokens.dtype)
     halo_v = jnp.zeros((1, L), bool)
     t = jnp.concatenate([halo, tokens], 0)
@@ -93,6 +99,10 @@ def windowed_attention_sharded(mesh: Mesh, axis: str = "data"):
 
     def fn(tokens, valid, params, pos, num_heads: int = 8):
         n = mesh.shape[axis]
+        # each shard's frame-0 correction statically indexes its second row,
+        # so shards need >= 2 frames (F == n would trace t[1] out of bounds)
+        assert tokens.shape[0] // n >= 2, (
+            f"need >= 2 frames per shard: F={tokens.shape[0]}, shards={n}")
 
         def shard_fn(t, v, prm, ps):
             idx = jax.lax.axis_index(axis)

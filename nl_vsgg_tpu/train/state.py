@@ -64,9 +64,18 @@ def create_train_state(model, sample_entry, rng, lr: float = 1e-5,
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
-    """Write a new lr into the injected hyperparams (host-side scheduler)."""
+    """Write a new lr into the injected hyperparams (host-side scheduler).
+
+    The new scalar keeps the OLD leaf's sharding: on a sharded/multi-host
+    state a bare jnp.asarray would be a single-device host-local array,
+    which Orbax refuses to serialize when the post-eval checkpoint saves it
+    and which would force implicit transfers in the next jitted step."""
     opt_state = state.opt_state
-    opt_state.hyperparams["learning_rate"] = jax.numpy.asarray(lr, jax.numpy.float32)
+    old = opt_state.hyperparams.get("learning_rate")
+    new = jax.numpy.asarray(lr, jax.numpy.float32)
+    if hasattr(old, "sharding"):
+        new = jax.device_put(new, old.sharding)
+    opt_state.hyperparams["learning_rate"] = new
     return state.replace(opt_state=opt_state)
 
 
@@ -95,3 +104,13 @@ class PlateauScheduler:
                 self.lr = max(self.lr * self.factor, self.min_lr)
                 self.num_bad = 0
         return self.lr
+
+    def state_dict(self) -> dict:
+        """Persistable plateau state — without it a resume would reset the
+        decayed lr back to cfg.lr at the first post-resume epoch."""
+        return {"lr": self.lr, "best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = float(d["lr"])
+        self.best = float(d["best"])
+        self.num_bad = int(d["num_bad"])

@@ -18,8 +18,13 @@ import orbax.checkpoint as ocp
 
 
 def save_checkpoint(directory: str, step: int, state, config_json: str | None = None,
-                    keep: int = 3) -> str:
-    """Write TrainState under directory/<step>; returns the path."""
+                    keep: int = 3, extra: dict | None = None) -> str:
+    """Write TrainState under directory/<step>; returns the path.
+
+    `extra` (JSON-serializable, primary process only) persists host-side
+    training state the TrainState pytree cannot hold — e.g. the plateau
+    scheduler's lr/best/num_bad, without which a resume resets the decayed
+    learning rate back to cfg.lr at its first epoch end."""
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, str(step))
@@ -29,11 +34,30 @@ def save_checkpoint(directory: str, step: int, state, config_json: str | None = 
     if config_json is not None:
         with open(os.path.join(directory, "configs.json"), "w") as f:
             f.write(config_json)  # config snapshot (train_STTran.py:28-29)
+    if extra is not None:
+        with open(os.path.join(directory, f"{step}.meta.json"), "w") as f:
+            json.dump(extra, f)
     steps = sorted((int(d) for d in os.listdir(directory) if d.isdigit()))
     for old in steps[:-keep]:
         import shutil
         shutil.rmtree(os.path.join(directory, str(old)), ignore_errors=True)
+        meta = os.path.join(directory, f"{old}.meta.json")
+        if os.path.isfile(meta):
+            os.remove(meta)
     return path
+
+
+def load_meta(directory: str, step: int | None = None) -> dict | None:
+    """The `extra` dict saved alongside checkpoint `step` (latest when None);
+    None when absent (checkpoints written before the sidecar existed)."""
+    step = step if step is not None else latest_step(directory)
+    if step is None:
+        return None
+    p = os.path.join(os.path.abspath(directory), f"{step}.meta.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def latest_step(directory: str) -> int | None:

@@ -377,3 +377,42 @@ def test_decoder_dup2_matches_plain_path():
     out_dup2 = layer.apply(params, local, pe, allow, True, None, None, True)
     np.testing.assert_allclose(np.asarray(out_dup2), np.asarray(out_plain),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_checkpoint_meta_and_scheduler_roundtrip(tmp_path):
+    """The plateau scheduler's host-side state persists via the checkpoint
+    meta sidecar — without it a resume resets the decayed lr to cfg.lr at
+    its first epoch end."""
+    import jax
+
+    from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
+    from nl_vsgg_tpu.models.sttran import STTran
+    from nl_vsgg_tpu.train import create_train_state, make_optimizer
+    from nl_vsgg_tpu.train.state import PlateauScheduler
+    from nl_vsgg_tpu.utils.checkpoint import (load_meta, latest_step,
+                                              restore_checkpoint,
+                                              save_checkpoint)
+
+    sched = PlateauScheduler(1e-5)
+    for score in (0.5, 0.4, 0.3, 0.2):  # two bad epochs past patience
+        lr = sched.step(score)
+    assert lr < 1e-5  # decayed
+
+    rng = np.random.default_rng(0)
+    e = make_synthetic_entry(rng, n_frames=2, bucket_boxes=8, bucket_rels=6,
+                             feat_dim=16)
+    model = STTran(mode="sgdet", feat_dim=16, dec_layer_num=1)
+    state, _ = create_train_state(model, e, jax.random.key(0),
+                                  tx=make_optimizer(1e-5))
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 3, state, extra={"scheduler": sched.state_dict()})
+    assert latest_step(d) == 3
+    meta = load_meta(d)
+    sched2 = PlateauScheduler(1e-5)
+    sched2.load_state_dict(meta["scheduler"])
+    assert sched2.lr == sched.lr and sched2.best == sched.best \
+        and sched2.num_bad == sched.num_bad
+    restore_checkpoint(d, state)  # state restore still works with the sidecar
+    # pre-sidecar checkpoints: meta is simply absent
+    save_checkpoint(d, 4, state)
+    assert load_meta(d, 4) is None

@@ -321,12 +321,15 @@ def run_training(cfg, args, build_model_fn):
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip_norm)
     state, tx = create_train_state(model, sample, rng, tx=tx)
     # auto-resume from the newest checkpoint (the reference cannot resume)
-    from nl_vsgg_tpu.utils.checkpoint import latest_step, restore_checkpoint
+    from nl_vsgg_tpu.utils.checkpoint import (latest_step, load_meta,
+                                              restore_checkpoint)
     ckpt_dir = os.path.join(cfg.save_path, "ckpt")
     start_epoch = 0
+    resume_meta = None
     resumed = latest_step(ckpt_dir)
     if resumed is not None:
         state = restore_checkpoint(ckpt_dir, state)
+        resume_meta = load_meta(ckpt_dir, resumed)
         start_epoch = resumed + 1
         logger.info(f"resumed from checkpoint epoch {resumed}")
     train_step = jax.jit(make_train_step(model, tx, bce=cfg.bce_loss),
@@ -338,28 +341,24 @@ def run_training(cfg, args, build_model_fn):
         local_eval = jax.jit(lambda v, b: jax.vmap(
             lambda e: model.apply(v, e, train=False))(b))
     scheduler = PlateauScheduler(cfg.lr)
+    if resume_meta and "scheduler" in resume_meta:
+        # restore the decayed lr + plateau history: without this the first
+        # post-resume epoch's scheduler.step() would write cfg.lr back into
+        # the (correctly restored) opt_state
+        scheduler.load_state_dict(resume_meta["scheduler"])
+        state = set_learning_rate(state, scheduler.lr)
 
     # multi-device: shard the video batch over the mesh 'data' axis, params
     # per the model-parallel rules; XLA inserts the gradient all-reduce
     mesh = None
     if len(jax.devices()) > 1:
         from nl_vsgg_tpu.parallel import (batch_sharding, make_mesh,
-                                          param_shardings, replicated)
+                                          shard_state)
         model_par = cfg.mesh.model
         data_par = (len(jax.devices()) // model_par if cfg.mesh.data == -1
                     else cfg.mesh.data)
         mesh = make_mesh(data=data_par, model=model_par)
-        rep = replicated(mesh)
-        state = state.replace(
-            params=jax.tree.map(jax.device_put, state.params,
-                                param_shardings(mesh, state.params)),
-            batch_stats=jax.tree.map(lambda x: jax.device_put(x, rep),
-                                     state.batch_stats),
-            opt_state=jax.tree.map(lambda x: jax.device_put(x, rep)
-                                   if hasattr(x, "shape") else x, state.opt_state),
-            step=jax.device_put(state.step, rep),
-            skipped=jax.device_put(state.skipped, rep),
-        )
+        state = shard_state(mesh, state)
         _bs = batch_sharding(mesh)
         logger.info(f"mesh: data={data_par} model={model_par}")
         if cfg.batch_videos % data_par:
@@ -385,7 +384,9 @@ def run_training(cfg, args, build_model_fn):
     n_train = len(ds_train) if not args.max_videos else min(args.max_videos, len(ds_train))
     n_test = len(ds_test) if not args.max_videos else min(args.max_videos, len(ds_test))
 
-    global_step = 0
+    # resume continues the step counter (metrics.jsonl keys stay unique and
+    # the per-step dropout keys don't replay epoch 0's sequence)
+    global_step = int(jax.device_get(state.step))
     for epoch in range(start_epoch, cfg.nepoch):
         t0 = time.time()
         order = np.random.default_rng(cfg.seed + epoch).permutation(n_train)
@@ -459,8 +460,6 @@ def run_training(cfg, args, build_model_fn):
         logger.info(f"epoch {epoch} done in {(time.time()-t0)/60:.1f} min "
                     f"({n_seen} videos, skipped {int(state.skipped)})")
         logger.info("host phases:\n" + timer.summary())
-        save_checkpoint(os.path.join(cfg.save_path, "ckpt"), epoch, state,
-                        config_json=cfg.to_json() if primary else None)
 
         # ---- per-epoch evaluation (train_STTran.py:210-232), streamed ----
         device_recalls = [] if cfg.device_eval else None
@@ -518,6 +517,13 @@ def run_training(cfg, args, build_model_fn):
         new_lr = scheduler.step(score)
         state = set_learning_rate(state, new_lr)
         metrics.write(global_step, epoch=epoch, mean_r20=score, lr=new_lr)
+        # checkpoint AFTER the eval + plateau update so a resume continues
+        # with the epoch's scheduler decision applied (the sidecar persists
+        # the plateau history the TrainState pytree cannot hold)
+        save_checkpoint(os.path.join(cfg.save_path, "ckpt"), epoch, state,
+                        config_json=cfg.to_json() if primary else None,
+                        extra={"scheduler": scheduler.state_dict()}
+                        if primary else None)
 
     metrics.close()
     return state

@@ -141,16 +141,19 @@ def main(argv=None):
         raise SystemExit(f"no videos found under {features_dir}")
     boxes = np.asarray([b for b, _ in stats.values()])
     frames = np.asarray([f for _, f in stats.values()])
-    # one relation per grounded (person, object) pair; persons are one per
-    # frame, so rels ~= boxes - frames (clipped)
-    rels = np.maximum(boxes - frames, 1)
 
     print(f"# scanned {len(stats)} videos: boxes p50/p90/p99/max = "
           f"{np.percentile(boxes, 50):.0f}/{np.percentile(boxes, 90):.0f}/"
           f"{np.percentile(boxes, 99):.0f}/{boxes.max()}; frames max {frames.max()}")
 
     bb = optimal_buckets(boxes, args.max_buckets, args.alpha, args.align)
-    br = optimal_buckets(rels, args.max_buckets, args.alpha, args.align)
+    # the runtime selects BOTH buckets with the same pre-grounding BOX-count
+    # hint (tools/train_STTran.py::ground_video — relation counts are unknown
+    # before grounding, and boxes >= rels makes the box hint truncation-safe),
+    # so the rel ladder must be optimized against the box distribution too;
+    # edges placed on a rels~boxes-frames distribution would be dead at
+    # runtime and the DP's occupancy numbers fiction
+    br = optimal_buckets(boxes, args.max_buckets, args.alpha, args.align)
     w_new, t_new = waste(boxes, bb, args.alpha)
     w_old, t_old = waste(boxes, list(cfg.buckets.max_boxes), args.alpha)
     print(f"# padded-cost overhead (boxes): current buckets "
