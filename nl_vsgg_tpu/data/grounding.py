@@ -249,7 +249,8 @@ def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool
                 compute_spatial_masks: bool = True,
                 on_truncate: TruncateFn | None = None,
                 union_cache_path: str | None = None,
-                union_cache_dtype: str = "float16") -> Entry | None:
+                union_cache_dtype: str = "float16",
+                union_cache_key: str = "") -> Entry | None:
     """convert_data (:1196-1384) -> padded Entry; None when no relations.
 
     `union_cache_path`: optional .npy path for the extracted union features.
@@ -313,18 +314,32 @@ def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool
         np.maximum(boxes[pair_np[:, 0], 2:], boxes[pair_np[:, 1], 2:])], axis=1)
 
     cached = None
+    if union_feat_fn is not None and union_cache_path is not None:
+        # fingerprint: the union BOX coordinates (deterministic per
+        # grounding; changes when pseudo labels / detections change) plus
+        # the caller-supplied provider key (checkpoint path+mtime+dtype) —
+        # without it a re-extracted dataset or re-converted detector would
+        # silently keep serving the OLD features forever
+        import hashlib
+        fp = hashlib.sha1(np.ascontiguousarray(union, np.float32).tobytes())
+        fp.update(str(union_cache_key).encode())
+        fingerprint = fp.hexdigest()
     if union_feat_fn is not None and union_cache_path is not None \
             and os.path.exists(union_cache_path):
         try:
-            arr = np.load(union_cache_path)
-        except Exception:  # truncated/corrupt file -> treat as a miss
-            arr = None
-        # validity = row count AND stored dtype: an exact-parity float32 run
-        # must not silently consume a stale fp16 cache (and vice versa)
+            with np.load(union_cache_path) as z:
+                arr = z["uf"]
+                key = str(z["key"])
+        except Exception:  # truncated/corrupt/old-format file -> miss
+            arr, key = None, ""
+        # validity = row count AND stored dtype AND fingerprint: an
+        # exact-parity float32 run must not silently consume a stale fp16
+        # cache, nor anyone a cache from different boxes/detector
         if arr is not None and arr.shape == (n_rels, POOL, POOL, feat_dim) \
-                and arr.dtype == np.dtype(union_cache_dtype):
+                and arr.dtype == np.dtype(union_cache_dtype) \
+                and key == fingerprint:
             cached = arr.astype(np.float32)
-        # else: stale cache (buckets/pipeline/dtype changed) -> re-extract
+        # else: stale cache -> re-extract (and overwrite)
     if cached is not None:
         uf = cached
     elif union_feat_fn is not None:
@@ -347,9 +362,10 @@ def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool
             # per-writer tmp + rename: concurrent jobs sharing the cache dir
             # (train + eval, or two model families) must never interleave
             # bytes in one tmp file
-            tmp = f"{union_cache_path}.{os.getpid()}.tmp.npy"
-            np.save(tmp, uf.astype(union_cache_dtype))
-            os.replace(tmp, union_cache_path)
+            tmp = f"{union_cache_path}.{os.getpid()}.tmp.npz"
+            np.savez(tmp, uf=uf.astype(union_cache_dtype), key=fingerprint)
+            os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz",
+                       union_cache_path)
         if not ok:
             uf = np.zeros((bucket_rels, POOL, POOL, feat_dim), np.float32)
     else:
@@ -407,7 +423,8 @@ def wk_forward(frames: Sequence[FrameDetections], gt_annotation, is_train: bool,
                feat_dim: int = FEAT_DIM,
                on_truncate: TruncateFn | None = None,
                union_cache_path: str | None = None,
-               union_cache_dtype: str = "float16") -> Entry | None:
+               union_cache_dtype: str = "float16",
+               union_cache_key: str = "") -> Entry | None:
     """The full grounding pass (lib/object_detector.py:35-45)."""
     grounded = assign_labels_video(frames, gt_annotation, is_train,
                                    assets_dir, pseudo_way)
@@ -415,7 +432,8 @@ def wk_forward(frames: Sequence[FrameDetections], gt_annotation, is_train: bool,
                        bucket_rels, union_feat_fn, feat_dim,
                        on_truncate=on_truncate,
                        union_cache_path=union_cache_path,
-                       union_cache_dtype=union_cache_dtype)
+                       union_cache_dtype=union_cache_dtype,
+                       union_cache_key=union_cache_key)
 
 
 def entry_to_eval_pred(entry: Entry, pred: dict) -> dict:

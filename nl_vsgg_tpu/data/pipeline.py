@@ -68,11 +68,16 @@ class GroundingPrefetcher:
                 return
             try:
                 self.out.put((idx, self.ground_fn(idx)))
-            except Exception as e:  # Exception, NOT BaseException: a worker
-                # KeyboardInterrupt/SystemExit must not silently become a
-                # skip slot
+            except Exception as e:
                 self._errors.append(e)
                 self.out.put((idx, None))
+            except BaseException as e:  # KeyboardInterrupt/SystemExit: still
+                # enqueue the sentinel (the consumer waits for exactly
+                # len(indices) items — a missing slot would deadlock it),
+                # then re-raise so the interrupt stays loud in this thread
+                self._errors.append(e)
+                self.out.put((idx, None))
+                raise
 
     def __iter__(self) -> Iterator[tuple[int, Entry | None]]:
         self._threads = [threading.Thread(target=self._worker, daemon=True)
@@ -112,6 +117,24 @@ def bucket_events(pairs: Iterator[tuple[int, Entry | None]], batch_size: int
             yield ("batch", pending.pop(key))
     for key in list(pending):
         yield ("batch", pending.pop(key))
+
+
+class DoubleBuffer:
+    """Hold ONE in-flight device batch so host post-processing overlaps
+    device compute: `push(x)` returns the previously pushed value (process it
+    AFTER dispatching the next batch), `flush()` returns the final pending
+    one. Shared by the epoch eval and the serving CLI."""
+
+    def __init__(self):
+        self._pending = None
+
+    def push(self, item):
+        prev, self._pending = self._pending, item
+        return prev
+
+    def flush(self):
+        prev, self._pending = self._pending, None
+        return prev
 
 
 def bucket_batches(entries: Iterator[tuple[int, Entry | None]],

@@ -109,6 +109,11 @@ def run_triplet_extraction(split_sentences: Mapping[str, list[list[str]]],
                                    f"sentence {sentence!r} — triplets land "
                                    f"in the last sentence slot (ref quirk)")
                 if triplets:
+                    if idx == -1 and not record["triplets"][-1]:
+                        # the quirk's landing slot [-1][-1] doesn't exist
+                        # when the last sentence group parsed empty — the
+                        # reference would IndexError here; drop instead
+                        continue
                     record["triplets"][idx][jdx].extend(triplets)
                     any_triplet = True
         if ok and any_triplet:

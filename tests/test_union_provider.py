@@ -188,7 +188,7 @@ def test_union_feat_cache_never_poisoned_by_fallback(tmp_path):
                            union_provider=broken)
     assert e is not None
     assert float(np.abs(np.asarray(e.union_feat)).sum()) == 0
-    assert not list(cache.rglob("*.npy")), "zeros fallback must not be cached"
+    assert not list(cache.rglob("*.npz")), "zeros fallback must not be cached"
 
     def good(ds_, idx):
         r = np.random.default_rng(3)
@@ -197,9 +197,10 @@ def test_union_feat_cache_never_poisoned_by_fallback(tmp_path):
 
     e2 = train.ground_video(ds, 0, cfg, True, cfg.buckets, union_provider=good)
     assert float(np.abs(np.asarray(e2.union_feat)).max()) > 0
-    files = list(cache.rglob("*.npy"))
-    assert len(files) == 1 and files[0].suffix == ".npy"
-    assert np.load(files[0]).dtype == np.float16  # default storage dtype
+    files = list(cache.rglob("*.npz"))
+    assert len(files) == 1 and files[0].suffix == ".npz"
+    with np.load(files[0]) as z:
+        assert z["uf"].dtype == np.float16  # default storage dtype
 
     # dtype change -> stale cache, provider re-invoked (not silently consumed)
     calls = []
@@ -215,7 +216,8 @@ def test_union_feat_cache_never_poisoned_by_fallback(tmp_path):
     train.ground_video(ds, 0, cfg32, True, cfg32.buckets,
                        union_provider=counting)
     assert calls == [0]
-    assert np.load(files[0]).dtype == np.float32  # rewritten at fp32
+    with np.load(files[0]) as z:
+        assert z["uf"].dtype == np.float32  # rewritten at fp32
 
     # corrupt file -> miss (re-extract), never a crash
     files[0].write_bytes(b"not an npy")
@@ -223,7 +225,20 @@ def test_union_feat_cache_never_poisoned_by_fallback(tmp_path):
     e3 = train.ground_video(ds, 0, cfg32, True, cfg32.buckets,
                             union_provider=counting)
     assert calls == [0] and e3 is not None
-    assert np.load(files[0]).dtype == np.float32  # repaired
+    with np.load(files[0]) as z:
+        assert z["uf"].dtype == np.float32  # repaired
+
+    # provider-identity change (here: detector dtype) invalidates the
+    # fingerprint -> re-extract, never silently serve the old features
+    cfg_bf = load_config(None, {
+        "data_path": ag, "feat_dim": 64,
+        "frame_features_path": os.path.join(ag, "frame_features"),
+        "union_feat_cache": str(cache), "union_feat_cache_dtype": "float32",
+        "vinvl_dtype": "bfloat16"})
+    calls.clear()
+    train.ground_video(ds, 0, cfg_bf, True, cfg_bf.buckets,
+                       union_provider=counting)
+    assert calls == [0], "stale provider fingerprint must re-extract"
 
 
 def test_cfg_dtype_reaches_models():

@@ -259,17 +259,18 @@ def main():
     try:
         # double-buffered: dispatch batch i (async), then fetch + serialize
         # batch i-1 while the device computes i
-        pending = None
+        from nl_vsgg_tpu.data.pipeline import DoubleBuffer
+        buf = DoubleBuffer()
         for kind, payload in bucket_events(iter(prefetcher), args.batch):
             if kind == "skip":
                 logger.warning(f"{ds.video_ids[payload]}: no relations (skipped)")
             else:
-                handles = dispatch(payload)
-                if pending is not None:
-                    drain(*pending)
-                pending = handles
-        if pending is not None:
-            drain(*pending)
+                prev = buf.push(dispatch(payload))
+                if prev is not None:
+                    drain(*prev)
+        prev = buf.flush()
+        if prev is not None:
+            drain(*prev)
     finally:
         if sink is not sys.stdout:
             sink.close()

@@ -63,6 +63,18 @@ def run(M, K, N, iters, mode):
         ts.append(time.perf_counter() - t0)
     dt = float(np.median(ts)) / iters
     tops = 2 * M * K * N / dt / 1e12
+    # chip-peak tripwire (CLAUDE.md): block_until_ready does not wait on the
+    # axon platform, so a silent sync failure prints impossible throughput —
+    # exactly the number this probe exists to decide an investment on.
+    # int8 peak = 2x the bf16 matmul peak on every TPU generation that has it
+    from bench import PEAK_TFLOPS
+    kind = getattr(jax.devices()[0], "device_kind", "cpu")
+    peak = PEAK_TFLOPS.get(kind, max(PEAK_TFLOPS.values()))
+    if kind != "cpu":
+        limit = peak * (2 if mode == "int8" else 1)
+        assert tops <= limit, (
+            f"implied {tops:.0f} T/s exceeds {kind} peak {limit} — timing is "
+            f"not measuring real execution")
     print(f"{mode:5s} M={M} K={K} N={N}: {dt*1e3:7.3f} ms/iter  "
           f"{tops:6.1f} T{'OP' if mode=='int8' else 'FLOP'}/s")
     return tops

@@ -152,7 +152,7 @@ def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
     n_hint = sum(len(f.classes) for f in frames)
     bb = pick_bucket(buckets.max_boxes, n_hint)
     br = pick_bucket(buckets.max_rels, n_hint)
-    union_feat_fn, cache_path = None, None
+    union_feat_fn, cache_path, cache_key = None, None, ""
     if union_provider is not None:
         if cfg.union_feat_cache:
             # grounding is deterministic per video -> the extraction result
@@ -161,7 +161,15 @@ def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
             vid = str(ds.video_ids[idx]).replace("/", "_")
             cache_path = os.path.join(cfg.union_feat_cache,
                                       "train" if is_train else "test",
-                                      vid + ".npy")
+                                      vid + ".npz")
+            # provider identity: a re-converted/re-pointed checkpoint or a
+            # dtype change invalidates the cache (build_entry also hashes
+            # the union boxes, catching pseudo-label/detection changes)
+            try:
+                mtime = int(os.path.getmtime(str(cfg.vinvl_ckpt)))
+            except OSError:
+                mtime = 0
+            cache_key = f"{cfg.vinvl_ckpt}:{mtime}:{cfg.vinvl_dtype}"
         lazy: list = []
 
         def union_feat_fn(f, boxes):
@@ -181,7 +189,8 @@ def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
                       feat_dim=cfg.feat_dim, pseudo_way=cfg.pseudo_way,
                       on_truncate=on_truncate,
                       union_cache_path=cache_path,
-                      union_cache_dtype=cfg.union_feat_cache_dtype)
+                      union_cache_dtype=cfg.union_feat_cache_dtype,
+                      union_cache_key=cache_key)
 
 
 def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
@@ -220,7 +229,8 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
 
     # double-buffered: dispatch batch i (async), THEN fetch + host-score
     # batch i-1 — the device computes while the host evaluator runs
-    pending = None
+    from nl_vsgg_tpu.data.pipeline import DoubleBuffer
+    buf = DoubleBuffer()
     for kind, payload in bucket_events(iter(prefetcher), cfg.batch_videos):
         if kind == "skip":
             evaluator.evaluate_scene_graph(ds_test.gt_annotations[payload], {})
@@ -230,12 +240,12 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
                               rel_bf16=cfg.dtype == "bfloat16")
         if place_fn is not None:
             batch = place_fn(batch)
-        handles = eval_step(state, batch)
-        if pending is not None:
-            score(*pending)
-        pending = (items, handles)
-    if pending is not None:
-        score(*pending)
+        prev = buf.push((items, eval_step(state, batch)))
+        if prev is not None:
+            score(*prev)
+    prev = buf.flush()
+    if prev is not None:
+        score(*prev)
     return evaluator
 
 
