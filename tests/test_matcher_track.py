@@ -131,3 +131,22 @@ def test_clean_bbox_all_boxes_in_last_frame_returns_empty():
     clusters = track_video("sgcls", bf, boxes, feats, dists, labels,
                            frame_keys=[0, 1, 2], im_size=(480.0, 640.0))
     assert isinstance(clusters, list)
+
+
+def test_tracker_timeout_fires_across_empty_frames():
+    """A track stale for >=50 frames of empty frames must expire
+    (lib/track.py:43-62): an identical detection 60 frames later starts a
+    NEW cluster. (The aging filter's operand order was a tautology that
+    kept stale tracks alive forever.)"""
+    from nl_vsgg_tpu.models.track import track_video
+
+    bf = np.array([0, 60], np.int32)
+    boxes = np.tile(np.array([[10, 10, 60, 60]], np.float32), (2, 1))
+    feats = np.tile(np.ones((1, 8), np.float32), (2, 1))
+    dists = np.tile(np.array([[0.9, 0.1]], np.float32), (2, 1))
+    labels = np.array([1, 1], np.int64)
+    clusters = track_video("sgcls", bf, boxes, feats, dists, labels,
+                           frame_keys=list(range(61)),
+                           im_size=(480.0, 640.0))
+    assert sorted(map(sorted, clusters)) == [[0], [1]], \
+        "the 50-frame timeout must split identical detections 60 frames apart"
