@@ -41,6 +41,18 @@ from .sttran import (ObjectClassifierWK, SpatialMaskConv, _const_init,
                      union_projection)
 
 
+def sequence_ordinal(group_id: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """ordinal[i] = position of row i within its group, ordered by flat index
+    — the reference's pad_sequence layout with pos_index=None
+    (lib/dsg_detr.py:556-560 for sgcls/predcls: PositionalEncoding adds
+    pe[0..len-1] per sequence token)."""
+    R = group_id.shape[-1]
+    same = (group_id[..., :, None] == group_id[..., None, :]) \
+        & valid[..., :, None] & valid[..., None, :]
+    lower = jnp.tril(jnp.ones((R, R), bool), -1)
+    return (same & lower).sum(-1).astype(jnp.int32)
+
+
 def tracklet_rank(group_id: jnp.ndarray, anchor: jnp.ndarray,
                   valid: jnp.ndarray) -> jnp.ndarray:
     """rank[i] = number of distinct `anchor` values < anchor[i] within
@@ -215,9 +227,7 @@ class DSGDETR(nn.Module):
             # the relation's ORDINAL within its class sequence (flat-index
             # order), not the unique-subject rank — duplicate non-modal
             # classes in one frame get consecutive positions
-            R = obj_cls.shape[-1]
-            lower = jnp.tril(jnp.ones((R, R), bool), -1)
-            ranks = (allow_t & lower).sum(-1).astype(jnp.int32)
+            ranks = sequence_ordinal(obj_cls, rmask)
         g = SinusoidalPE(d_model, max_len=400, name="positional_encoder")(h, ranks, det)
         for i in range(self.dec_layer_num):
             g = Enc(d_model, 8, 2048, dtype=self.dtype, fused=self.fused,

@@ -91,3 +91,19 @@ def test_sgcls_group_ids_cover_all_rows(rng):
     # padded rows never share an id with real rows
     assert not (set(gid[:NB].tolist()) & set(gid[NB:].tolist()))
     assert len(set(gid[NB:].tolist())) == 4
+
+
+def test_sequence_ordinal_matches_reference_pad_sequence_layout():
+    """sgcls/predcls temporal PE positions: the reference pad_sequences each
+    class sequence in flat-index order and PositionalEncoding(x, None) adds
+    pe[0..len-1] per token (lib/dsg_detr.py:556-560) — ordinal within the
+    class sequence, NOT the sgdet unique-subject tracklet rank."""
+    import jax.numpy as jnp
+
+    from nl_vsgg_tpu.models.dsg_detr import sequence_ordinal
+
+    obj_cls = jnp.asarray([3, 5, 3, 3, 5, 9, 0], jnp.int32)
+    valid = jnp.asarray([1, 1, 1, 1, 1, 1, 0], bool)  # last row padding
+    got = np.asarray(sequence_ordinal(obj_cls, valid))
+    # class 3 rows at flat idx 0,2,3 -> ordinals 0,1,2; class 5 at 1,4 -> 0,1
+    np.testing.assert_array_equal(got[:6], [0, 0, 1, 2, 1, 0])
