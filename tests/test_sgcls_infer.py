@@ -59,3 +59,77 @@ def test_all_objects_pair_with_frame_human():
     assert (pl[out["pair_idx"][:, 1]] != 1).all()
     # distributions remain normalized rows except zeroed duplicates
     assert out["distribution"].shape == (9, 36)
+
+
+def test_sgcls_assignment_golden_vs_reference(rng):
+    """Fuzz the full sgcls eval assignment (softmax -> human selection ->
+    duplicate resolution -> pair building) against the LIVE reference
+    ObjectClassifier sgcls branch (lib/sttran.py:93-170), with the union
+    extractor stubbed (we compare assignment fields, not union features)."""
+    import os
+    import sys
+
+    import pytest
+
+    REF = "/root/reference"
+    if not os.path.isdir(REF):
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+    from tests.ref_stubs import install
+    install()
+    import lib.sttran as ref_sttran
+    from lib.fpn.box_utils import center_size
+
+    # the union section must run (same method body) but its features are
+    # irrelevant to the assignment fields under comparison
+    ref_sttran.extract_feature_given_bbox_base_feat_torch = \
+        lambda model, tr, img, boxes, fmap, flag: torch.zeros(
+            (len(boxes), 2048, 7, 7))
+
+    classes = [f"c{i}" for i in range(37)]
+    torch.manual_seed(3)
+    ref = ref_sttran.ObjectClassifier(mode="sgcls", obj_classes=classes).eval()
+
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        F, per = 3, 4
+        n = F * per
+        frames = np.repeat(np.arange(F), per)
+        boxes5 = np.concatenate(
+            [frames[:, None].astype(np.float32),
+             np.sort(r.uniform(0, 400, (n, 4)).astype(np.float32), axis=1)], 1)
+        feats = r.standard_normal((n, 2048)).astype(np.float32)
+        dist0 = r.uniform(0, 1, (n, 36)).astype(np.float32)
+
+        entry = {
+            "boxes": torch.as_tensor(boxes5),
+            "features": torch.as_tensor(feats),
+            "distribution": torch.as_tensor(dist0),
+            "frame_names": list(range(F)),
+            "cv2_imgs": [None] * F,
+            "fmaps": [None] * F,
+            "faset_rcnn_model": None,
+            "transforms": None,
+        }
+        # the logits our host assignment starts from == the reference's own
+        # decoder output on the same inputs
+        with torch.no_grad():
+            obj_embed = entry["distribution"] @ ref.obj_embed.weight
+            pos = ref.pos_embed(center_size(entry["boxes"][:, 1:]))
+            logits = ref.decoder_lin(
+                torch.cat([entry["features"], obj_embed, pos], 1)).numpy()
+            out_ref = ref(dict(entry))
+
+        ours = sgcls_assign(logits, frames)
+        np.testing.assert_array_equal(
+            ours["pred_labels"], out_ref["pred_labels"].numpy())
+        np.testing.assert_allclose(
+            ours["pred_scores"], out_ref["pred_scores"].numpy(),
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(
+            ours["pair_idx"], out_ref["pair_idx"].numpy())
+        np.testing.assert_array_equal(
+            ours["im_idx"], out_ref["im_idx"].numpy().astype(np.int64))
+        np.testing.assert_allclose(
+            ours["distribution"], out_ref["distribution"].numpy(),
+            rtol=1e-5, atol=1e-6)
