@@ -25,6 +25,7 @@ import numpy as np
 from . import schema
 from .entry import FEAT_DIM, MASK_P, POOL, Entry, pad_entry
 from .grounding import create_dis
+from ..eval.recall import np_softmax as _softmax
 
 
 def build_gt_entry(gt_annotation, mode: str, bucket_boxes: int, bucket_rels: int,
@@ -124,5 +125,3 @@ def build_gt_entry(gt_annotation, mode: str, bucket_boxes: int, bucket_rels: int
     )
     return pad_entry(e, bucket_boxes, bucket_rels)
 
-
-from ..eval.recall import np_softmax as _softmax  # noqa: E402

@@ -47,9 +47,27 @@ def install() -> None:
         np.asarray(our_dub(pair_rois, size)), -1, 1)
     sys.modules["lib.draw_rectangles.draw_rectangles"] = dr
 
+    # easydict: trivial attr-dict (lib/funcs.py -> fasterRCNN config needs it)
+    if "easydict" not in sys.modules:
+        ed = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        ed.EasyDict = EasyDict
+        sys.modules["easydict"] = ed
+
     # CUDA roi layers: callable factories (never exercised on tested paths)
     roi = types.ModuleType("fasterRCNN.lib.model.roi_layers")
     roi.ROIAlign = _callable_stub
+    roi.ROIPool = _callable_stub
     roi.nms = _callable_stub
     sys.modules["fasterRCNN.lib.model.roi_layers"] = roi
 
@@ -68,8 +86,11 @@ def install() -> None:
     boxes.box_area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
     ops.boxes = boxes
     tv.ops = ops
+    models = types.ModuleType("torchvision.models")  # fasterRCNN import chain
+    tv.models = models
     sys.modules.update({"torchvision": tv, "torchvision.ops": ops,
-                        "torchvision.ops.boxes": boxes})
+                        "torchvision.ops.boxes": boxes,
+                        "torchvision.models": models})
 
     # maskrcnn/scene_graph_benchmark towers (import-time only)
     for name in ("scene_graph_benchmark", "scene_graph_benchmark.AttrRCNN",

@@ -96,3 +96,118 @@ class TestBuildGTEntry:
         # are oracle, so top-100 must recover every GT triplet
         ng50 = float(np.mean(ev.recall_nogc[50]))
         assert ng50 == pytest.approx(1.0), f"nogc R@50 {ng50}"
+
+
+def test_predcls_gt_entry_golden_vs_reference(rng):
+    """Golden: build_gt_entry('predcls') vs the live reference GT-box path
+    (lib/object_detector.py:53-171) with a shared deterministic feature
+    extractor — boxes/labels/pairs/features/union features/spatial masks
+    and the relationship GT lists must match exactly."""
+    import os
+    import types
+
+    import pytest
+
+    REF = "/root/reference"
+    if not os.path.isdir(REF):
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+    from tests.ref_stubs import install
+    install()
+    import lib.object_detector as ref_od
+
+    from nl_vsgg_tpu.data import schema
+    from nl_vsgg_tpu.data.gt_entry import build_gt_entry
+
+    D = 32
+    r = np.random.default_rng(17)
+    W = r.standard_normal((4, D)).astype(np.float32)
+    WU = r.standard_normal((4, D)).astype(np.float32)
+
+    def feat_np(i, boxes):  # deterministic in (frame, box coords)
+        return boxes @ W + i
+
+    def union_np(i, boxes):
+        base = boxes @ WU + 10 * i  # (K, D)
+        return np.tile(base[:, None, None, :], (1, 7, 7, 1)).astype(np.float32)
+
+    # reference side: same functions in its (frame-batched, NCHW) layout
+    ref_od.extract_base_feature_one_img = lambda model, tr, img: None
+    def ref_extract(model, tr, img, boxes_t, fmap, pooled):
+        boxes = boxes_t.numpy()
+        i = ref_extract.frame  # set per call below via closure hack
+        raise AssertionError  # replaced below
+    def make_ref_extract():
+        def fn(model, tr, img, boxes_t, fmap, pooled):
+            boxes = boxes_t.detach().cpu().numpy()
+            i = fn.calls.pop(0)
+            if pooled:  # (K, D) box features
+                return torch.as_tensor(feat_np(i, boxes).astype(np.float32))
+            return torch.as_tensor(  # (K, D, 7, 7) torch layout
+                np.moveaxis(union_np(i, boxes), -1, 1))
+        fn.calls = []
+        return fn
+    ref_fn = make_ref_extract()
+    ref_od.extract_feature_given_bbox_base_feat_torch = ref_fn
+
+    # synthetic AGTest-style GT: 3 frames, person + 2 objects each
+    gt = []
+    for i in range(3):
+        person = np.sort(r.uniform(0, 300, 4).astype(np.float32))
+        frame = [{"person_bbox": person[None]}]
+        for k in range(2):
+            rel = {
+                "attention_relationship": torch.as_tensor([int(r.integers(0, 3))]),
+                "spatial_relationship": torch.as_tensor(
+                    sorted(r.choice(6, size=2, replace=False).tolist())),
+                "contacting_relationship": torch.as_tensor([int(r.integers(0, 17))]),
+            }
+            frame.append(dict({"class": int(r.integers(2, 36)),
+                               "bbox": np.sort(r.uniform(0, 300, 4)).astype(np.float32)},
+                              **rel))
+        gt.append(frame)
+
+    conf = types.SimpleNamespace(is_wks=False, mode="predcls", pseudo_way=0,
+                                 union_box_feature=False)
+    classes = list(schema.load_taxonomy().object_classes)
+    det = ref_od.detector(train=False, object_classes=classes,
+                          use_SUPPLY=False, conf=conf)
+    # the per-frame call order: box features for frames 0..2, then union
+    # features for frames 0..2 (lib/object_detector.py:99-106, 113-119)
+    ref_fn.calls = [0, 1, 2, 0, 1, 2]
+    with torch.no_grad():
+        out_ref = det(gt, [f"{i:06d}.png" for i in range(3)], None, None)
+
+    e = build_gt_entry(gt, "predcls", bucket_boxes=16, bucket_rels=8,
+                       feature_fn=feat_np, union_feature_fn=union_np,
+                       feat_dim=D)
+    nb = int(np.asarray(e.box_mask).sum())
+    nr = int(np.asarray(e.rel_mask).sum())
+    np.testing.assert_allclose(np.asarray(e.boxes)[:nb],
+                               out_ref["boxes"].numpy()[:, 1:], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(e.box_frame)[:nb],
+                                  out_ref["boxes"].numpy()[:, 0].astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(e.labels)[:nb],
+                                  out_ref["labels"].numpy())
+    np.testing.assert_array_equal(np.asarray(e.pair_idx)[:nr],
+                                  out_ref["pair_idx"].numpy())
+    np.testing.assert_array_equal(np.asarray(e.im_idx)[:nr],
+                                  out_ref["im_idx"].numpy().astype(np.int64))
+    np.testing.assert_allclose(np.asarray(e.features)[:nb],
+                               out_ref["features"].numpy(), rtol=1e-5)
+    np.testing.assert_allclose(  # ours NHWC vs torch NCHW
+        np.asarray(e.union_feat)[:nr],
+        np.moveaxis(out_ref["union_feat"].numpy(), 1, -1), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(e.spatial_masks)[:nr],
+        np.moveaxis(out_ref["spatial_masks"].numpy(), 1, -1),
+        rtol=1e-5, atol=1e-6)
+    for name, key, num in (("attention_gt", "attention_gt", 3),
+                           ("spatial_gt", "spatial_gt", 6),
+                           ("contacting_gt", "contacting_gt", 17)):
+        ref_lists = out_ref[key]
+        ours = np.asarray(getattr(e, name))[:nr]
+        for row, ids in zip(ours, ref_lists):
+            mh = np.zeros(num, np.float32)
+            mh[np.asarray(ids, np.int64)] = 1.0
+            np.testing.assert_array_equal(row, mh)
