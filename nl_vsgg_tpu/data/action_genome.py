@@ -212,10 +212,15 @@ class AGTest:
                  filter_nonperson_box_frame: bool = True,
                  filter_small_box: bool = True):
         tax = schema.load_taxonomy(assets_dir)
-        self.object_classes = list(tax.object_classes_gt)  # GT spellings (:44-49)
-        self.attention_relationships = list(tax.attention_relationships_gt)
-        self.spatial_relationships = list(tax.spatial_relationships_gt)
-        self.contacting_relationships = list(tax.contacting_relationships_gt)
+        # the REAL AG pickles store the reference's canonicalized spellings
+        # ('closet/cabinet', 'looking_at', ... — wk_action_genome.py:181-214
+        # fixes the raw txt and indexes the pickle values against that list),
+        # i.e. our DISPLAY variants. The space-spelled *_gt variants are the
+        # LLM-pipeline lexicon and never appear in the dataset pickles.
+        self.object_classes = list(tax.object_classes)
+        self.attention_relationships = list(tax.attention_relationships)
+        self.spatial_relationships = list(tax.spatial_relationships)
+        self.contacting_relationships = list(tax.contacting_relationships)
 
         img_info = {}
         p = img_info_path or os.path.join(data_path, "..", "ag_img_info_test.pkl")

@@ -55,10 +55,15 @@ class Taxonomy:
     """All class-name variants plus predicate group ranges."""
 
     object_classes: tuple[str, ...]      # display names, index 0 = __background__
-    object_classes_gt: tuple[str, ...]   # GT spellings
+    object_classes_gt: tuple[str, ...]   # LLM-pipeline lexicon spellings
+    # ('cabinet', 'glass', ...) — NOT the dataset pickles' names; the real
+    # AG annotations use the display spellings ('closet/cabinet', ...)
     object_classes_pipeline: tuple[str, ...]  # ADV/LLM pipeline spellings
     relationship_classes: tuple[str, ...]     # display names
-    relationship_classes_gt: tuple[str, ...]  # GT spellings
+    relationship_classes_gt: tuple[str, ...]  # pipeline/chart spellings
+    # ('looking at', ...) — the LLM lexicon and the reference's
+    # relationship_classes4gt chart labels; dataset pickles use the
+    # display spellings ('looking_at', ...)
 
     @property
     def attention_relationships(self) -> tuple[str, ...]:

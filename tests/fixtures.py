@@ -86,13 +86,13 @@ def build_micro_ag(root: str, n_videos: int = 3, n_frames: int = 4,
             key = f"{vid}/{fr}"
             person_bbox[key] = {"bbox": person_rect[None], "bbox_size": (640, 480)}
             object_bbox[key] = [{
-                "class": tax.object_classes_gt[cls],
+                "class": tax.object_classes[cls],  # dataset spellings
                 "bbox": [float(r[0]), float(r[1]),
                          float(r[2] - r[0]), float(r[3] - r[1])],
                 "visible": True, "metadata": {"set": "test"},
-                "attention_relationship": [tax.attention_relationships_gt[int(rel["attention_relationship"][0])]],
-                "spatial_relationship": [tax.spatial_relationships_gt[int(rel["spatial_relationship"][0])]],
-                "contacting_relationship": [tax.contacting_relationships_gt[int(rel["contacting_relationship"][0])]],
+                "attention_relationship": [tax.attention_relationships[int(rel["attention_relationship"][0])]],
+                "spatial_relationship": [tax.spatial_relationships[int(rel["spatial_relationship"][0])]],
+                "contacting_relationship": [tax.contacting_relationships[int(rel["contacting_relationship"][0])]],
             } for cls, r, rel in obj_entries]
         pseudo[vid] = video_gt
 

@@ -138,12 +138,13 @@ def test_fixture(tmp_path):
     person = lambda n: {"bbox": np.ones((n, 4), np.float32), "bbox_size": (480, 270)}
 
     def obj(visible=True, split="test", cls_idx=5):
-        return {"class": tax.object_classes_gt[cls_idx], "bbox": [10, 20, 30, 40],
+        # dataset spellings (the reference's canonicalized names)
+        return {"class": tax.object_classes[cls_idx], "bbox": [10, 20, 30, 40],
                 "visible": visible, "metadata": {"set": split},
-                "attention_relationship": [tax.attention_relationships_gt[1]],
-                "spatial_relationship": [tax.spatial_relationships_gt[0],
-                                         tax.spatial_relationships_gt[2]],
-                "contacting_relationship": [tax.contacting_relationships_gt[4]]}
+                "attention_relationship": [tax.attention_relationships[1]],
+                "spatial_relationship": [tax.spatial_relationships[0],
+                                         tax.spatial_relationships[2]],
+                "contacting_relationship": [tax.contacting_relationships[4]]}
 
     person_bbox, object_bbox = {}, {}
     # vid1: 3 person frames + 1 no-person frame -> kept with 3 frames
@@ -197,3 +198,66 @@ class TestAGTest:
         ev = SceneGraphEvaluator(mode="sgdet")
         ev.evaluate_scene_graph(ds.gt_annotations[0], {})
         assert len(ev.recall[20]) == 3
+
+
+def test_agtest_golden_vs_reference(tmp_path, monkeypatch):
+    """AGTest vs the live reference AG_Test on the micro fixture: same kept
+    videos, same frame lists, and identical converted GT annotations
+    (class/name indices, xywh->xyxy, relationship-name->index tensors)."""
+    import os
+    import pickle
+    import shutil
+    import sys
+
+    import pytest
+
+    REF = "/root/reference"
+    if not os.path.isdir(REF):
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+    from tests.fixtures import build_micro_ag
+    from tests.ref_stubs import install
+    install()
+
+    ag = build_micro_ag(str(tmp_path), n_videos=3, n_frames=4, feat_dim=16)
+    ann = os.path.join(ag, "annotations")
+    # the reference reads the raw class-name txts from its data root and
+    # ag_img_info_test.pkl from a CWD-relative hardcoded path
+    assets = os.path.join(os.path.dirname(__file__), "..", "assets")
+    for t in ("object_classes.txt", "relationship_classes.txt"):
+        shutil.copy(os.path.join(assets, t), os.path.join(ann, t))
+    os.makedirs(tmp_path / "datasets" / "AG", exist_ok=True)
+    shutil.copy(os.path.join(ag, "ag_img_info_test.pkl"),
+                tmp_path / "datasets" / "AG" / "ag_img_info_test.pkl")
+    monkeypatch.chdir(tmp_path)
+
+    from dataloader.wk_action_genome import AG_Test as RefAGTest
+
+    class _Log:
+        def info(self, *a, **k):
+            pass
+
+    # NB the reference MUTATES object_bbox entries in place while converting;
+    # our AGTest must therefore load its own pickle copies (it does)
+    ref = RefAGTest("test", _Log(), data_path=ann)
+    ours = AGTest(ann)
+
+    assert ours.video_ids == [v[0].split("/")[0] for v in ref.video_list]
+    assert ours.video_list == ref.video_list
+    assert ours.non_gt_human_nums == ref.non_gt_human_nums
+    assert ours.non_person_video == ref.non_person_video
+    assert ours.one_frame_video == ref.one_frame_video
+    for gv_ours, gv_ref in zip(ours.gt_annotations, ref.gt_annotations):
+        assert len(gv_ours) == len(gv_ref)
+        for gf_ours, gf_ref in zip(gv_ours, gv_ref):
+            assert len(gf_ours) == len(gf_ref)
+            np.testing.assert_array_equal(gf_ours[0]["person_bbox"],
+                                          gf_ref[0]["person_bbox"])
+            for mo, mr in zip(gf_ours[1:], gf_ref[1:]):
+                assert int(mo["class"]) == int(mr["class"])
+                np.testing.assert_allclose(mo["bbox"], mr["bbox"])
+                for key in ("attention_relationship", "spatial_relationship",
+                            "contacting_relationship"):
+                    np.testing.assert_array_equal(
+                        np.asarray(mo[key]).reshape(-1),
+                        mr[key].numpy().reshape(-1))
