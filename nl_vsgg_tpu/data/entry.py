@@ -45,8 +45,13 @@ class Entry:
     pair_idx: jnp.ndarray     # (R, 2) int32 indices into boxes (person, obj)
     im_idx: jnp.ndarray       # (R,) int32 frame index of each relation
     rel_mask: jnp.ndarray     # (R,) bool
-    union_feat: jnp.ndarray   # (R, POOL, POOL, FEAT_DIM) float32
-    spatial_masks: jnp.ndarray  # (R, MASK_P, MASK_P, 2) float32
+    union_feat: jnp.ndarray   # (R, POOL, POOL, FEAT_DIM) float32; channel
+    # width 0 = "logically all-zeros" (no union-feature provider): the models
+    # reduce the projection to its exact bias broadcast (union_projection)
+    spatial_masks: jnp.ndarray  # (R, MASK_P, MASK_P, 2) float32; channel
+    # width 0 = "compute on device": the models rasterize the exact masks
+    # from boxes[pair_idx] (ops/union_masks), so the (R, 27, 27, 2) array is
+    # neither built on the host nor uploaded (models/sttran.spatial_mask_input)
     attention_gt: jnp.ndarray   # (R, 3) float32 multi-hot
     spatial_gt: jnp.ndarray     # (R, 6) float32 multi-hot
     contacting_gt: jnp.ndarray  # (R, 17) float32 multi-hot
@@ -63,8 +68,14 @@ class Entry:
 
 
 def empty_entry(n_boxes: int, n_rels: int, feat_dim: int = FEAT_DIM,
-                with_union_feat: bool = True) -> Entry:
-    """All-padding Entry of the given bucket shape (numpy-backed)."""
+                with_union_feat: bool = True,
+                with_spatial_masks: bool = True) -> Entry:
+    """All-padding Entry of the given bucket shape (numpy-backed).
+
+    `with_union_feat=False` / `with_spatial_masks=False` emit the width-0
+    sentinel forms of the two derived arrays (see Entry field comments) so a
+    fill video matches the real entries it is batched with.
+    """
     z = np.zeros
     return Entry(
         boxes=z((n_boxes, 4), np.float32),
@@ -79,7 +90,8 @@ def empty_entry(n_boxes: int, n_rels: int, feat_dim: int = FEAT_DIM,
         rel_mask=z((n_rels,), bool),
         union_feat=z((n_rels, POOL, POOL, feat_dim) if with_union_feat
                      else (n_rels, POOL, POOL, 0), np.float32),
-        spatial_masks=z((n_rels, MASK_P, MASK_P, 2), np.float32),
+        spatial_masks=z((n_rels, MASK_P, MASK_P, 2) if with_spatial_masks
+                        else (n_rels, MASK_P, MASK_P, 0), np.float32),
         attention_gt=z((n_rels, schema.NUM_ATTENTION), np.float32),
         spatial_gt=z((n_rels, schema.NUM_SPATIAL), np.float32),
         contacting_gt=z((n_rels, schema.NUM_CONTACTING), np.float32),

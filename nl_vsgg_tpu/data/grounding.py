@@ -35,7 +35,7 @@ from typing import Callable, Sequence
 import numpy as np
 
 from . import schema
-from .entry import FEAT_DIM, MASK_P, POOL, Entry, pad_entry
+from .entry import FEAT_DIM, MASK_P, POOL, Entry, pad_entry, pick_bucket
 
 
 @dataclass
@@ -237,6 +237,80 @@ def create_dis(conf: np.ndarray, idx: np.ndarray, num: int = 36) -> np.ndarray:
 # -> (K, POOL, POOL, FEAT_DIM). None => zeros (union_box_feature: False).
 UnionFeatFn = Callable[[int, np.ndarray], np.ndarray]
 
+
+def _resolve_union_features(union: np.ndarray, im: np.ndarray,
+                            bucket_rels: int, feat_dim: int,
+                            union_feat_fn: UnionFeatFn | None,
+                            union_cache_path: str | None,
+                            union_cache_dtype: str,
+                            union_cache_key: str,
+                            extract_mask: np.ndarray | None = None) -> np.ndarray:
+    """Union features for the rel rows described by (union (R,4), im (R,)).
+
+    Shared by the python and native grounding paths. Cache-or-extract:
+      * fingerprint = sha1(union boxes) + provider key — a re-extracted
+        dataset / re-converted detector / pseudo-label change invalidates it;
+      * a failed provider (frames missing) keeps zeros for the video and is
+        never cached, so the fallback cannot poison the persistent cache;
+      * `extract_mask` limits extraction to valid rows (native path: rows
+        whose pair indices survived bucket truncation).
+    Returns (R, POOL, POOL, feat_dim), or a bucket-shaped calloc-zeros array
+    when there is no provider (pad_entry passes it through untouched).
+    """
+    n_rels = len(union)
+    if union_feat_fn is None:
+        # no provider -> union_feat is all-zeros (train loop materializes the
+        # zeros on device, place_entries zero_union). Allocate straight at the
+        # bucket shape: calloc pages are never written, and pad_entry's fit()
+        # passes a full-size array through as a view
+        return np.zeros((bucket_rels, POOL, POOL, feat_dim), np.float32)
+
+    fingerprint = None
+    if union_cache_path is not None:
+        import hashlib
+        fp = hashlib.sha1(np.ascontiguousarray(union, np.float32).tobytes())
+        fp.update(str(union_cache_key).encode())
+        fingerprint = fp.hexdigest()
+        if os.path.exists(union_cache_path):
+            try:
+                with np.load(union_cache_path) as z:
+                    arr = z["uf"]
+                    key = str(z["key"])
+            except Exception:  # truncated/corrupt/old-format file -> miss
+                arr, key = None, ""
+            # validity = row count AND stored dtype AND fingerprint: an
+            # exact-parity float32 run must not silently consume a stale fp16
+            # cache, nor anyone a cache from different boxes/detector
+            if arr is not None and arr.shape == (n_rels, POOL, POOL, feat_dim) \
+                    and arr.dtype == np.dtype(union_cache_dtype) \
+                    and key == fingerprint:
+                return arr.astype(np.float32)
+            # else: stale cache -> re-extract (and overwrite)
+
+    uf = np.zeros((n_rels, POOL, POOL, feat_dim), np.float32)
+    rows = (np.ones(n_rels, bool) if extract_mask is None
+            else np.asarray(extract_mask, bool))
+    ok = True
+    for f in np.unique(im[rows]):
+        sel = (im == f) & rows
+        block = union_feat_fn(int(f), union[sel])
+        if block is None:
+            ok = False
+            break
+        uf[sel] = block
+    if ok and union_cache_path is not None:
+        os.makedirs(os.path.dirname(union_cache_path) or ".", exist_ok=True)
+        # per-writer tmp + rename: concurrent jobs sharing the cache dir
+        # (train + eval, or two model families) must never interleave
+        # bytes in one tmp file
+        tmp = f"{union_cache_path}.{os.getpid()}.tmp.npz"
+        np.savez(tmp, uf=uf.astype(union_cache_dtype), key=fingerprint)
+        os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz",
+                   union_cache_path)
+    if not ok:
+        uf = np.zeros((bucket_rels, POOL, POOL, feat_dim), np.float32)
+    return uf
+
 # Truncation report signature: (n_boxes_dropped, n_rels_dropped) called when a
 # video overflows its padding bucket. None => silent (tools pass a counter).
 TruncateFn = Callable[[int, int], None]
@@ -312,68 +386,9 @@ def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool
     union = np.concatenate([
         np.minimum(boxes[pair_np[:, 0], :2], boxes[pair_np[:, 1], :2]),
         np.maximum(boxes[pair_np[:, 0], 2:], boxes[pair_np[:, 1], 2:])], axis=1)
-
-    cached = None
-    if union_feat_fn is not None and union_cache_path is not None:
-        # fingerprint: the union BOX coordinates (deterministic per
-        # grounding; changes when pseudo labels / detections change) plus
-        # the caller-supplied provider key (checkpoint path+mtime+dtype) —
-        # without it a re-extracted dataset or re-converted detector would
-        # silently keep serving the OLD features forever
-        import hashlib
-        fp = hashlib.sha1(np.ascontiguousarray(union, np.float32).tobytes())
-        fp.update(str(union_cache_key).encode())
-        fingerprint = fp.hexdigest()
-    if union_feat_fn is not None and union_cache_path is not None \
-            and os.path.exists(union_cache_path):
-        try:
-            with np.load(union_cache_path) as z:
-                arr = z["uf"]
-                key = str(z["key"])
-        except Exception:  # truncated/corrupt/old-format file -> miss
-            arr, key = None, ""
-        # validity = row count AND stored dtype AND fingerprint: an
-        # exact-parity float32 run must not silently consume a stale fp16
-        # cache, nor anyone a cache from different boxes/detector
-        if arr is not None and arr.shape == (n_rels, POOL, POOL, feat_dim) \
-                and arr.dtype == np.dtype(union_cache_dtype) \
-                and key == fingerprint:
-            cached = arr.astype(np.float32)
-        # else: stale cache -> re-extract (and overwrite)
-    if cached is not None:
-        uf = cached
-    elif union_feat_fn is not None:
-        uf = np.zeros((n_rels, POOL, POOL, feat_dim), np.float32)
-        im = np.asarray(im_idx)
-        ok = True
-        for f in np.unique(im):
-            sel = im == f
-            block = union_feat_fn(int(f), union[sel])
-            if block is None:
-                # extractor unavailable for this video (e.g. frame images
-                # missing): keep zeros for the video and — critically — do
-                # NOT cache them, or the fallback would permanently mask the
-                # real features once the frames appear
-                ok = False
-                break
-            uf[sel] = block
-        if ok and union_cache_path is not None:
-            os.makedirs(os.path.dirname(union_cache_path) or ".", exist_ok=True)
-            # per-writer tmp + rename: concurrent jobs sharing the cache dir
-            # (train + eval, or two model families) must never interleave
-            # bytes in one tmp file
-            tmp = f"{union_cache_path}.{os.getpid()}.tmp.npz"
-            np.savez(tmp, uf=uf.astype(union_cache_dtype), key=fingerprint)
-            os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz",
-                       union_cache_path)
-        if not ok:
-            uf = np.zeros((bucket_rels, POOL, POOL, feat_dim), np.float32)
-    else:
-        # no provider -> union_feat is all-zeros (train loop materializes the
-        # zeros on device, place_entries zero_union). Allocate straight at the
-        # bucket shape: calloc pages are never written, and pad_entry's fit()
-        # passes a full-size array through as a view
-        uf = np.zeros((bucket_rels, POOL, POOL, feat_dim), np.float32)
+    uf = _resolve_union_features(union, np.asarray(im_idx), bucket_rels,
+                                 feat_dim, union_feat_fn, union_cache_path,
+                                 union_cache_dtype, union_cache_key)
 
     if compute_spatial_masks:
         # numpy twin: grounding is host-side; the XLA version would dispatch
@@ -382,7 +397,11 @@ def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool
         pair_rois = np.concatenate([boxes[pair_np[:, 0]], boxes[pair_np[:, 1]]], 1)
         masks = draw_union_boxes_np(pair_rois, MASK_P) - 0.5  # :1359-1363
     else:
-        masks = np.zeros((n_rels, MASK_P, MASK_P, 2), np.float32)
+        # width-0 sentinel: the models rasterize the exact masks on device
+        # from boxes[pair_idx] (models/sttran.spatial_mask_input) — the
+        # (R, 27, 27, 2) array (~560 KB/video fp32) is neither built here
+        # nor uploaded. Production default (cfg.device_spatial_masks).
+        masks = np.zeros((n_rels, MASK_P, MASK_P, 0), np.float32)
 
     e = Entry(
         boxes=boxes,
@@ -424,16 +443,211 @@ def wk_forward(frames: Sequence[FrameDetections], gt_annotation, is_train: bool,
                on_truncate: TruncateFn | None = None,
                union_cache_path: str | None = None,
                union_cache_dtype: str = "float16",
-               union_cache_key: str = "") -> Entry | None:
+               union_cache_key: str = "",
+               compute_spatial_masks: bool = True) -> Entry | None:
     """The full grounding pass (lib/object_detector.py:35-45)."""
     grounded = assign_labels_video(frames, gt_annotation, is_train,
                                    assets_dir, pseudo_way)
     return build_entry(grounded, gt_annotation, is_train, bucket_boxes,
                        bucket_rels, union_feat_fn, feat_dim,
+                       compute_spatial_masks=compute_spatial_masks,
                        on_truncate=on_truncate,
                        union_cache_path=union_cache_path,
                        union_cache_dtype=union_cache_dtype,
                        union_cache_key=union_cache_key)
+
+
+@dataclass
+class GTPack:
+    """Per-video pseudo-GT annotation flattened for the native engine.
+
+    Static per dataset — build once per video (pack_gt_annotation) and reuse
+    across epochs; the per-step work then stays entirely in C++.
+    """
+
+    cls: np.ndarray  # (G,) int32 AG class per GT row, frames concatenated
+    off: np.ndarray  # (F+1,) int64 frame offsets
+    att: np.ndarray  # (G, 3) float32 multi-hot
+    sp: np.ndarray   # (G, 6) float32
+    con: np.ndarray  # (G, 17) float32
+
+
+def pack_gt_annotation(gt_annotation) -> GTPack:
+    """AGTrain-style per-frame annotation lists -> flat GT arrays."""
+    cls, att, sp, con = [], [], [], []
+    off = [0]
+    for frame in gt_annotation:
+        for m in frame:
+            if "class" not in m:
+                continue
+            cls.append(int(m["class"]))
+            a = np.zeros(schema.NUM_ATTENTION, np.float32)
+            a[np.asarray(m["attention_relationship"], np.int64).reshape(-1)] = 1.0
+            att.append(a)
+            s = np.zeros(schema.NUM_SPATIAL, np.float32)
+            s[np.asarray(m["spatial_relationship"], np.int64).reshape(-1)] = 1.0
+            sp.append(s)
+            c = np.zeros(schema.NUM_CONTACTING, np.float32)
+            c[np.asarray(m["contacting_relationship"], np.int64).reshape(-1)] = 1.0
+            con.append(c)
+        off.append(len(cls))
+    g = len(cls)
+    return GTPack(
+        cls=np.asarray(cls, np.int32).reshape(g),
+        off=np.asarray(off, np.int64),
+        att=np.asarray(att, np.float32).reshape(g, schema.NUM_ATTENTION),
+        sp=np.asarray(sp, np.float32).reshape(g, schema.NUM_SPATIAL),
+        con=np.asarray(con, np.float32).reshape(g, schema.NUM_CONTACTING),
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _native_taxonomy(assets_dir: str | None):
+    """(person_lut u8, oi2ag (n_oi, fan) i32, counts i32) for ground_pack."""
+    oi_to_ag, ag_to_oi = schema.load_oi_ag_maps(assets_dir)
+    lut = _person_lut(frozenset(ag_to_oi[1])).astype(np.uint8)
+    n_oi = max(oi_to_ag.keys(), default=0) + 1
+    fan = max((len(v) for v in oi_to_ag.values()), default=1)
+    oi2ag = np.zeros((n_oi, fan), np.int32)
+    cnt = np.zeros(n_oi, np.int32)
+    for k, v in oi_to_ag.items():
+        cnt[k] = len(v)
+        oi2ag[k, :len(v)] = v
+    return lut, oi2ag, cnt
+
+
+_NATIVE_UNAVAILABLE = object()  # sentinel: caller must fall back to python
+
+
+def wk_forward_native(frame_paths: Sequence[str], gt_annotation, is_train: bool,
+                      max_boxes_buckets: Sequence[int],
+                      max_rels_buckets: Sequence[int],
+                      union_feat_fn: UnionFeatFn | None = None,
+                      assets_dir: str | None = None, pseudo_way: int = 0,
+                      feat_dim: int = FEAT_DIM,
+                      on_truncate: TruncateFn | None = None,
+                      union_cache_path: str | None = None,
+                      union_cache_dtype: str = "float16",
+                      union_cache_key: str = "",
+                      compute_spatial_masks: bool = False,
+                      gt_pack: GTPack | None = None,
+                      max_dets: int = 128):
+    """The full grounding pass through the native C++ engine.
+
+    One `ground_pack` call replaces assign_labels_video + build_entry's
+    packing (semantics pinned byte-identical to the python path by
+    tests/test_native_grounding.py, incl. the CPython set-iteration-order
+    quirk of the mapped-class emission). Detections/features stream through
+    the native .npy reader; the GIL is released for the whole pack, so
+    prefetch worker threads scale on multi-core hosts.
+
+    Returns Entry, None (no relations — reference :1302-1304), or the
+    module-level `_NATIVE_UNAVAILABLE` sentinel when the native library or
+    the dets_f32.npy sidecars are missing (caller falls back to wk_forward).
+    """
+    import ctypes
+    from ..utils.native_io import get_lib, read_feat_batch
+    lib = get_lib()
+    if lib is None or not frame_paths:
+        return _NATIVE_UNAVAILABLE
+    sidecars = [os.path.join(p, DETS_F32) for p in frame_paths]
+    if not all(map(os.path.isfile, sidecars)):
+        return _NATIVE_UNAVAILABLE
+    try:
+        dpad, dcnt = read_feat_batch(sidecars, 6, max_rows_each=max_dets)
+        frows = max(int(dcnt.max()), 1)
+        fpad, fcnt = read_feat_batch(
+            [os.path.join(p, "feat.npy") for p in frame_paths],
+            feat_dim, max_rows_each=frows)
+    except IOError:
+        return _NATIVE_UNAVAILABLE
+
+    F = len(frame_paths)
+    n_hint = int(dcnt.sum())
+    bb = pick_bucket(tuple(max_boxes_buckets), n_hint)
+    br = pick_bucket(tuple(max_rels_buckets), n_hint)
+
+    if is_train and gt_pack is None:
+        gt_pack = pack_gt_annotation(gt_annotation)
+    lut, oi2ag, oicnt = _native_taxonomy(assets_dir)
+
+    z = np.zeros
+    boxes = z((bb, 4), np.float32)
+    box_frame = z(bb, np.int32)
+    box_mask = z(bb, np.uint8)
+    labels = z(bb, np.int32)
+    scores = z(bb, np.float32)
+    dist = z((bb, schema.NUM_OBJ_CLASSES - 1), np.float32)
+    feats = z((bb, feat_dim), np.float32)
+    pair_idx = z((br, 2), np.int32)
+    im_idx = z(br, np.int32)
+    rel_mask = z(br, np.uint8)
+    att = z((br, schema.NUM_ATTENTION), np.float32)
+    sp = z((br, schema.NUM_SPATIAL), np.float32)
+    con = z((br, schema.NUM_CONTACTING), np.float32)
+    counts = z(3, np.int64)
+
+    F32 = ctypes.POINTER(ctypes.c_float)
+    I64 = ctypes.POINTER(ctypes.c_int64)
+    I32 = ctypes.POINTER(ctypes.c_int32)
+    U8 = ctypes.POINTER(ctypes.c_uint8)
+    p = lambda a, t: a.ctypes.data_as(t)
+    gcls = gt_pack.cls if gt_pack is not None else z(0, np.int32)
+    goff = (gt_pack.off if gt_pack is not None
+            else z(F + 1, np.int64))
+    gatt = gt_pack.att if gt_pack is not None else z((0, 3), np.float32)
+    gsp = gt_pack.sp if gt_pack is not None else z((0, 6), np.float32)
+    gcon = gt_pack.con if gt_pack is not None else z((0, 17), np.float32)
+
+    rc = lib.ground_pack(
+        F, dpad.shape[1], p(dpad, F32), p(dcnt, I64),
+        p(fpad, F32), fpad.shape[1], p(fcnt, I64), feat_dim,
+        p(gcls, I32), p(goff, I64), p(gatt, F32), p(gsp, F32), p(gcon, F32),
+        p(lut, U8), len(lut),
+        p(oi2ag, I32), p(oicnt, I32), oi2ag.shape[0], oi2ag.shape[1],
+        int(is_train), int(pseudo_way), bb, br,
+        p(boxes, F32), p(box_frame, I32), p(box_mask, U8),
+        p(labels, I32), p(scores, F32), p(dist, F32), p(feats, F32),
+        p(pair_idx, I32), p(im_idx, I32), p(rel_mask, U8),
+        p(att, F32), p(sp, F32), p(con, F32), p(counts, I64))
+    if rc < 0:
+        raise RuntimeError(f"native ground_pack failed (rc={rc})")
+    if rc == 1:
+        return None  # no relations (:1302-1304)
+    n_boxes, n_rels, n_kept = (int(c) for c in counts)
+    if on_truncate is not None:
+        dropped_boxes = max(0, n_boxes - bb)
+        dropped_rels = n_rels - n_kept
+        if dropped_boxes or dropped_rels:
+            on_truncate(dropped_boxes, dropped_rels)
+
+    rm = rel_mask.astype(bool)
+    union = np.concatenate([
+        np.minimum(boxes[pair_idx[:, 0], :2], boxes[pair_idx[:, 1], :2]),
+        np.maximum(boxes[pair_idx[:, 0], 2:], boxes[pair_idx[:, 1], 2:])], 1)
+    uf = _resolve_union_features(union, im_idx, br, feat_dim, union_feat_fn,
+                                 union_cache_path, union_cache_dtype,
+                                 union_cache_key, extract_mask=rm)
+    if compute_spatial_masks:
+        from ..ops.union_masks import draw_union_boxes_np
+        masks = np.zeros((br, MASK_P, MASK_P, 2), np.float32)
+        if rm.any():
+            pair_rois = np.concatenate(
+                [boxes[pair_idx[rm, 0]], boxes[pair_idx[rm, 1]]], 1)
+            masks[rm] = draw_union_boxes_np(pair_rois, MASK_P) - 0.5
+    else:  # device-compute sentinel (models/sttran.spatial_mask_input)
+        masks = np.zeros((br, MASK_P, MASK_P, 0), np.float32)
+
+    return Entry(
+        boxes=boxes, box_frame=box_frame, box_mask=box_mask.astype(bool),
+        labels=labels, scores=scores, distribution=dist, features=feats,
+        pair_idx=pair_idx, im_idx=im_idx, rel_mask=rm,
+        union_feat=uf if len(uf) == br else np.zeros(
+            (br, POOL, POOL, feat_dim), np.float32),
+        spatial_masks=masks,
+        attention_gt=att, spatial_gt=sp, contacting_gt=con,
+        num_frames=np.int32(F),
+    )
 
 
 def entry_to_eval_pred(entry: Entry, pred: dict) -> dict:

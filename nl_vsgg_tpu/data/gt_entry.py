@@ -33,7 +33,8 @@ def build_gt_entry(gt_annotation, mode: str, bucket_boxes: int, bucket_rels: int
                    union_feature_fn: Callable[[int, np.ndarray], np.ndarray] | None = None,
                    classify_fn: Callable[[np.ndarray], np.ndarray] | None = None,
                    feat_dim: int = FEAT_DIM, assets_dir: str | None = None,
-                   rng: np.random.Generator | None = None) -> Entry:
+                   rng: np.random.Generator | None = None,
+                   compute_spatial_masks: bool = True) -> Entry:
     """gt_annotation: AGTest-style per-frame lists -> padded Entry."""
     assert mode in ("predcls", "sgcls")
     boxes, frames, labels = [], [], []
@@ -71,7 +72,12 @@ def build_gt_entry(gt_annotation, mode: str, bucket_boxes: int, bucket_rels: int
         feats[sel] = feature_fn(int(i), boxes[sel])
 
     uf = np.zeros((n_rels, POOL, POOL, feat_dim), np.float32)
-    masks = np.zeros((n_rels, MASK_P, MASK_P, 2), np.float32)
+    # sgcls stage-1 entries keep zero masks (the classifier does not consume
+    # them and the eval flow rebuilds pairs + masks after reassignment);
+    # compute_spatial_masks=False emits the device-compute sentinel instead
+    masks = (np.zeros((n_rels, MASK_P, MASK_P, 2), np.float32)
+             if compute_spatial_masks or mode == "sgcls"
+             else np.zeros((n_rels, MASK_P, MASK_P, 0), np.float32))
     if mode == "predcls":
         union = np.concatenate([
             np.minimum(boxes[pair_np[:, 0], :2], boxes[pair_np[:, 1], :2]),
@@ -81,12 +87,13 @@ def build_gt_entry(gt_annotation, mode: str, bucket_boxes: int, bucket_rels: int
             for i in np.unique(im):
                 sel = im == i
                 uf[sel] = union_feature_fn(int(i), union[sel])
-        from ..ops.union_masks import draw_union_boxes_np
-        pair_rois = np.concatenate([boxes[pair_np[:, 0]], boxes[pair_np[:, 1]]], 1)
-        # numpy twin: this runs on the host data path (prefetch workers) —
-        # the XLA version would dispatch to the default device per video
-        # (~2 tunnel round trips each; see data/grounding.py)
-        masks = (draw_union_boxes_np(pair_rois, MASK_P) - 0.5).astype(np.float32)
+        if compute_spatial_masks:
+            from ..ops.union_masks import draw_union_boxes_np
+            pair_rois = np.concatenate([boxes[pair_np[:, 0]], boxes[pair_np[:, 1]]], 1)
+            # numpy twin: this runs on the host data path (prefetch workers) —
+            # the XLA version would dispatch to the default device per video
+            # (~2 tunnel round trips each; see data/grounding.py)
+            masks = (draw_union_boxes_np(pair_rois, MASK_P) - 0.5).astype(np.float32)
         scores = np.ones(n_boxes, np.float32)
         distribution = np.eye(schema.NUM_OBJ_CLASSES, dtype=np.float32)[labels][:, 1:]
     else:  # sgcls: VinVL-classified soft distributions (create_dis_list)

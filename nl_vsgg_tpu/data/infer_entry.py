@@ -18,7 +18,8 @@ from .grounding import UnionFeatFn
 
 def build_infer_entry(assign: dict, num_frames: int, bucket_boxes: int,
                       bucket_rels: int, union_feat_fn: UnionFeatFn | None = None,
-                      feat_dim: int = FEAT_DIM) -> Entry | None:
+                      feat_dim: int = FEAT_DIM,
+                      compute_spatial_masks: bool = True) -> Entry | None:
     """`assign` is the dict from sgdet_assign / sgcls_assign (+ 'boxes',
     'box_frame', 'features' present for sgdet; sgcls passes them alongside).
     Returns a padded Entry whose labels are the *predicted* classes."""
@@ -42,9 +43,12 @@ def build_infer_entry(assign: dict, num_frames: int, bucket_boxes: int,
         for f in np.unique(im_idx):
             sel = im_idx == f
             uf[sel] = union_feat_fn(int(f), union[sel])
-    from ..ops.union_masks import draw_union_boxes
-    pair_rois = np.concatenate([boxes[pair[:, 0]], boxes[pair[:, 1]]], 1)
-    masks = (np.asarray(draw_union_boxes(pair_rois, MASK_P)) - 0.5).astype(np.float32)
+    if compute_spatial_masks:
+        from ..ops.union_masks import draw_union_boxes
+        pair_rois = np.concatenate([boxes[pair[:, 0]], boxes[pair[:, 1]]], 1)
+        masks = (np.asarray(draw_union_boxes(pair_rois, MASK_P)) - 0.5).astype(np.float32)
+    else:  # device-compute sentinel (models/sttran.spatial_mask_input)
+        masks = np.zeros((n_rels, MASK_P, MASK_P, 0), np.float32)
 
     e = Entry(
         boxes=boxes, box_frame=frames, box_mask=np.ones(n_boxes, bool),

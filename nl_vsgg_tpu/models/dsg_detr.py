@@ -38,7 +38,7 @@ import numpy as np
 from ..data.entry import Entry
 from .layers import TorchEncoderLayer, sinusoidal_position_table
 from .sttran import (ObjectClassifierWK, SpatialMaskConv, _const_init,
-                     union_projection)
+                     spatial_mask_input, union_projection)
 
 
 def sequence_ordinal(group_id: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -184,7 +184,7 @@ class DSGDETR(nn.Module):
             entry.features[..., entry.pair_idx[..., 1], :])
         union_proj = union_projection(entry.union_feat, self.feat_dim, self.dtype)
         mask_feat = SpatialMaskConv(dtype=self.dtype, name="spatial_conv")(
-            entry.spatial_masks, entry.rel_mask, train)
+            spatial_mask_input(entry), entry.rel_mask, train)
         vr = union_proj + mask_feat
         vr = nn.Dense(512, name="vr_fc", dtype=self.dtype)(vr.reshape(*vr.shape[:-3], -1))
         x_visual = jnp.concatenate([subj_rep, obj_rep, vr], axis=-1)

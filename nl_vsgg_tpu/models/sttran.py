@@ -43,8 +43,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.entry import Entry
+from ..data.entry import MASK_P, Entry
 from ..ops.boxes import center_size
+from ..ops.union_masks import draw_union_boxes
 from .layers import MaskedBatchNorm, MaskedDecoderLayer, MaskedEncoderLayer
 
 
@@ -73,6 +74,25 @@ def union_projection(union_feat: jnp.ndarray, feat_dim: int, dtype) -> jnp.ndarr
         union_feat = jnp.zeros(union_feat.shape[:-1] + (feat_dim,),
                                union_feat.dtype)
     return nn.Dense(256, name="union_func1", dtype=dtype)(union_feat)
+
+
+def spatial_mask_input(entry: Entry) -> jnp.ndarray:
+    """The (R, 27, 27, 2) spatial-mask conv input.
+
+    A width-0 `entry.spatial_masks` is the device-compute sentinel: the
+    masks are an exact closed-form function of the pair boxes
+    (ops/union_masks.draw_union_boxes, the XLA twin of the host
+    draw_union_boxes_np used at lib/assign_pseudo_label.py:1359-1363), so
+    they are rasterized here from `boxes[pair_idx]` instead of being built
+    on the host and uploaded (~560 KB/video fp32). Padded relations index
+    boxes[0] and produce junk rows — every consumer masks by rel_mask.
+    """
+    if entry.spatial_masks.shape[-1]:
+        return entry.spatial_masks
+    sub = entry.boxes[..., entry.pair_idx[..., 0], :]
+    obj = entry.boxes[..., entry.pair_idx[..., 1], :]
+    pair_rois = jnp.concatenate([sub, obj], axis=-1)
+    return draw_union_boxes(pair_rois, MASK_P) - 0.5
 
 
 class ObjectClassifierWK(nn.Module):
@@ -286,7 +306,7 @@ class STTran(nn.Module):
             entry.features[..., entry.pair_idx[..., 1], :])
         union_proj = union_projection(entry.union_feat, self.feat_dim, self.dtype)
         mask_feat = SpatialMaskConv(dtype=self.dtype, name="spatial_conv")(
-            entry.spatial_masks, entry.rel_mask, train)
+            spatial_mask_input(entry), entry.rel_mask, train)
         vr = union_proj + mask_feat  # (R, 7, 7, 256)
         vr = nn.Dense(512, name="vr_fc", dtype=self.dtype)(vr.reshape(*vr.shape[:-3], -1))
         x_visual = jnp.concatenate([subj_rep, obj_rep, vr], axis=-1)

@@ -161,13 +161,17 @@ class DistributedBatcher:
     def __init__(self, ground_fn: Callable[[int], Entry | None],
                  order: Sequence[int], batch_videos: int, mesh,
                  feat_dim: int = 2048, zero_union: bool = False,
-                 rel_bf16: bool = False, num_workers: int = 4):
+                 rel_bf16: bool = False, num_workers: int = 4,
+                 device_masks: bool = False):
         self.ground_fn = ground_fn
         self.order = list(order)
         self.B = batch_videos
         self.mesh = mesh
         self.feat_dim = feat_dim
         self.zero_union = zero_union
+        # fill entries must match the real entries' spatial_masks width
+        # (width-0 when the grounding path emits the device-compute sentinel)
+        self.device_masks = device_masks
         self.rel_bf16 = rel_bf16
         self.num_workers = max(1, num_workers)
         self.nproc = jax.process_count()
@@ -247,7 +251,8 @@ class DistributedBatcher:
                         if e is not None else None for e in entries]
                 local = [pad_entry(e, bb, br) if e is not None
                          else empty_entry(bb, br, self.feat_dim,
-                                          with_union_feat=not self.zero_union)
+                                          with_union_feat=not self.zero_union,
+                                          with_spatial_masks=not self.device_masks)
                          for e in entries]
                 host = jax.tree.map(
                     lambda *xs: np.stack([np.asarray(x) for x in xs]), *local)

@@ -107,6 +107,13 @@ class Config:
     buckets: BucketConfig = field(default_factory=BucketConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     use_native_io: bool = True  # C++ fast path for host data packing
+    use_native_grounding: bool = True  # C++ assign+pack grounding engine
+    # (native/grounding.cpp, byte-identical to the python path by fuzz test);
+    # auto-falls back to python when the library or sidecars are missing
+    device_spatial_masks: bool = True  # rasterize the 27x27 pair masks on
+    # device from boxes[pair_idx] (exact closed form, ops/union_masks)
+    # instead of building + uploading (R, 27, 27, 2) arrays from the host;
+    # False restores the host path (useful for entry-level parity dumps)
     profile_steps: int = 0  # >0: capture a jax.profiler trace of this many
     # train steps (from step 2) into <save_path>/trace for TensorBoard/XProf
     device_eval: bool = False  # additionally score R@K on device during the

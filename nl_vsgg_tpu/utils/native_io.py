@@ -16,17 +16,23 @@ import threading
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
-_SRC = os.path.join(_NATIVE_DIR, "io.cpp")
+_SRCS = [os.path.join(_NATIVE_DIR, "io.cpp"),
+         os.path.join(_NATIVE_DIR, "grounding.cpp")]
 _SO = os.path.join(_NATIVE_DIR, "libnlvsgg_io.so")
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
 
+_F32 = ctypes.POINTER(ctypes.c_float)
+_I64 = ctypes.POINTER(ctypes.c_int64)
+_I32 = ctypes.POINTER(ctypes.c_int32)
+_U8 = ctypes.POINTER(ctypes.c_uint8)
+
 
 def _build() -> bool:
     try:
         subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                        "-pthread", _SRC, "-o", _SO],
+                        "-pthread", *_SRCS, "-o", _SO],
                        check=True, capture_output=True)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError):
@@ -39,20 +45,32 @@ def get_lib():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.isfile(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not os.path.isfile(_SO) or any(
+                os.path.getmtime(_SO) < os.path.getmtime(s) for s in _SRCS):
             if not _build():
                 _build_failed = True
                 return None
         lib = ctypes.CDLL(_SO)
         lib.read_npy_batch_f32.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int]
+            _F32, _I64, _I64, _I64, ctypes.c_int]
         lib.pack_padded_f32.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float)]
+            _F32, _I64, ctypes.c_int, ctypes.c_int64, ctypes.c_int64, _F32]
+        lib.pyset_intersect_order.argtypes = [
+            _I64, ctypes.c_int, _I64, ctypes.c_int, _I64]
+        lib.pyset_intersect_order.restype = ctypes.c_int
+        lib.ground_pack.argtypes = [
+            ctypes.c_int, ctypes.c_int, _F32, _I64,      # F, D, dets, counts
+            _F32, ctypes.c_int, _I64, ctypes.c_int,      # feats, stride, counts, dim
+            _I32, _I64, _F32, _F32, _F32,                # gt cls/off/att/sp/con
+            _U8, ctypes.c_int,                           # person lut
+            _I32, _I32, ctypes.c_int, ctypes.c_int,      # oi2ag, cnt, n_oi, fan
+            ctypes.c_int, ctypes.c_int,                  # is_train, pseudo_way
+            ctypes.c_int, ctypes.c_int,                  # BB, BR
+            _F32, _I32, _U8, _I32, _F32, _F32, _F32,     # box-side outputs
+            _I32, _I32, _U8, _F32, _F32, _F32,           # rel-side outputs
+            _I64]                                        # out_counts
+        lib.ground_pack.restype = ctypes.c_int
         _lib = lib
         return _lib
 

@@ -278,7 +278,12 @@ def bench_grounding(iters: int):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
     from fixtures import build_micro_ag
 
-    from nl_vsgg_tpu.data.grounding import load_frame_features, wk_forward
+    import numpy as np
+
+    from nl_vsgg_tpu.data.grounding import (_NATIVE_UNAVAILABLE, DETS_F32,
+                                            dets_to_f32, load_frame_features,
+                                            pack_gt_annotation, wk_forward,
+                                            wk_forward_native)
 
     root = tempfile.mkdtemp()
     try:
@@ -293,6 +298,9 @@ def bench_grounding(iters: int):
         vid = next(iter(pseudo))
         paths = [os.path.join(ag, "frame_features", vid, fr)
                  for fr in fl[vid]["frame_list"]]
+        for p in paths:  # sidecars for the native engine
+            dets = np.load(os.path.join(p, "dets.npy"), allow_pickle=True)
+            np.save(os.path.join(p, DETS_F32), dets_to_f32(dets.tolist()))
 
         def load():
             return load_frame_features(paths, use_native=True, feat_dim=2048)
@@ -300,11 +308,28 @@ def bench_grounding(iters: int):
         frames = load()
         t_load = timed(lambda: (load(), None)[1], reps=iters)
         t_wk = timed(lambda: (wk_forward(frames, pseudo[vid], True, 128, 96,
-                                         feat_dim=2048), None)[1], reps=iters)
+                                         feat_dim=2048,
+                                         compute_spatial_masks=False), None)[1],
+                     reps=iters)
         per_video = t_load + t_wk
         print(f"grounding   32f bucket 128/96  : {per_video * 1e3:8.2f} ms/video "
               f"({1.0 / per_video:,.0f} videos/s/core; "
-              f"load {t_load * 1e3:.1f} + wk_forward {t_wk * 1e3:.1f} ms)")
+              f"load {t_load * 1e3:.1f} + wk_forward {t_wk * 1e3:.1f} ms; "
+              f"python engine, device masks)")
+
+        # native C++ engine (read + assign + pack in one pass, GIL released)
+        pack = pack_gt_annotation(pseudo[vid])
+        e = wk_forward_native(paths, pseudo[vid], True, (128,), (96,),
+                              feat_dim=2048, gt_pack=pack)
+        if e is _NATIVE_UNAVAILABLE:
+            print("grounding   native engine      : unavailable (no g++?)")
+        else:
+            t_nat = timed(lambda: (wk_forward_native(
+                paths, pseudo[vid], True, (128,), (96,), feat_dim=2048,
+                gt_pack=pack), None)[1], reps=iters)
+            print(f"grounding   native C++ engine  : {t_nat * 1e3:8.2f} ms/video "
+                  f"({1.0 / t_nat:,.0f} videos/s/core incl. load; "
+                  f"{per_video / t_nat:.1f}x the python path)")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

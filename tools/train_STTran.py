@@ -144,49 +144,86 @@ def make_union_provider(cfg, logger):
     return provider
 
 
+def _make_union_feat_fn(ds, idx, cfg, is_train, union_provider):
+    """(union_feat_fn | None, cache_path | None, cache_key) for one video."""
+    union_feat_fn, cache_path, cache_key = None, None, ""
+    if union_provider is None:
+        return union_feat_fn, cache_path, cache_key
+    if cfg.union_feat_cache:
+        # grounding is deterministic per video -> the extraction result
+        # is reusable across epochs/eval re-runs (the reference reruns
+        # the full backbone per step, lib/assign_pseudo_label.py:1336)
+        vid = str(ds.video_ids[idx]).replace("/", "_")
+        cache_path = os.path.join(cfg.union_feat_cache,
+                                  "train" if is_train else "test",
+                                  vid + ".npz")
+        # provider identity: a re-converted/re-pointed checkpoint or a
+        # dtype change invalidates the cache (build_entry also hashes
+        # the union boxes, catching pseudo-label/detection changes)
+        try:
+            mtime = int(os.path.getmtime(str(cfg.vinvl_ckpt)))
+        except OSError:
+            mtime = 0
+        cache_key = f"{cfg.vinvl_ckpt}:{mtime}:{cfg.vinvl_dtype}"
+    lazy: list = []
+
+    def union_feat_fn(f, boxes):
+        # provider invoked only on an actual extraction (a cache hit
+        # never reads frames or touches the detector). A failed provider
+        # (frames missing) returns None: build_entry falls back to zeros
+        # for the video WITHOUT caching them — the fallback must never
+        # poison the persistent cache
+        if not lazy:
+            lazy.append(union_provider(ds, idx))
+        if lazy[0] is None:
+            return None
+        return lazy[0](f, boxes)
+
+    return union_feat_fn, cache_path, cache_key
+
+
 def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
                  on_truncate=None):
-    frames = load_frame_features(
-        [os.path.join(cfg.frame_features_path, f) for f in ds.video_list[idx]],
+    paths = [os.path.join(cfg.frame_features_path, f)
+             for f in ds.video_list[idx]]
+    union_feat_fn, cache_path, cache_key = _make_union_feat_fn(
+        ds, idx, cfg, is_train, union_provider)
+    if cfg.use_native_grounding and cfg.use_native_io:
+        from nl_vsgg_tpu.data.grounding import (_NATIVE_UNAVAILABLE,
+                                                pack_gt_annotation,
+                                                wk_forward_native)
+        gt_pack = None
+        if is_train:
+            # GT packs are static per video — build once, reuse every epoch
+            packs = getattr(ds, "_gt_packs", None)
+            if packs is None:
+                packs = {}
+                ds._gt_packs = packs
+            gt_pack = packs.get(idx)
+            if gt_pack is None:
+                gt_pack = pack_gt_annotation(ds.gt_annotations[idx])
+                packs[idx] = gt_pack
+        e = wk_forward_native(
+            paths, ds.gt_annotations[idx], is_train,
+            buckets.max_boxes, buckets.max_rels,
+            union_feat_fn=union_feat_fn,
+            feat_dim=cfg.feat_dim, pseudo_way=cfg.pseudo_way,
+            compute_spatial_masks=not cfg.device_spatial_masks,
+            on_truncate=on_truncate, union_cache_path=cache_path,
+            union_cache_dtype=cfg.union_feat_cache_dtype,
+            union_cache_key=cache_key, gt_pack=gt_pack)
+        if e is not _NATIVE_UNAVAILABLE:
+            return e
+        # library or dets_f32 sidecars unavailable: python path below
+    frames = load_frame_features(paths,
         use_native=cfg.use_native_io, feat_dim=cfg.feat_dim)
     n_hint = sum(len(f.classes) for f in frames)
     bb = pick_bucket(buckets.max_boxes, n_hint)
     br = pick_bucket(buckets.max_rels, n_hint)
-    union_feat_fn, cache_path, cache_key = None, None, ""
-    if union_provider is not None:
-        if cfg.union_feat_cache:
-            # grounding is deterministic per video -> the extraction result
-            # is reusable across epochs/eval re-runs (the reference reruns
-            # the full backbone per step, lib/assign_pseudo_label.py:1336)
-            vid = str(ds.video_ids[idx]).replace("/", "_")
-            cache_path = os.path.join(cfg.union_feat_cache,
-                                      "train" if is_train else "test",
-                                      vid + ".npz")
-            # provider identity: a re-converted/re-pointed checkpoint or a
-            # dtype change invalidates the cache (build_entry also hashes
-            # the union boxes, catching pseudo-label/detection changes)
-            try:
-                mtime = int(os.path.getmtime(str(cfg.vinvl_ckpt)))
-            except OSError:
-                mtime = 0
-            cache_key = f"{cfg.vinvl_ckpt}:{mtime}:{cfg.vinvl_dtype}"
-        lazy: list = []
-
-        def union_feat_fn(f, boxes):
-            # provider invoked only on an actual extraction (a cache hit
-            # never reads frames or touches the detector). A failed provider
-            # (frames missing) returns None: build_entry falls back to zeros
-            # for the video WITHOUT caching them — the fallback must never
-            # poison the persistent cache
-            if not lazy:
-                lazy.append(union_provider(ds, idx))
-            if lazy[0] is None:
-                return None
-            return lazy[0](f, boxes)
-
     return wk_forward(frames, ds.gt_annotations[idx], is_train, bb, br,
                       union_feat_fn=union_feat_fn,
                       feat_dim=cfg.feat_dim, pseudo_way=cfg.pseudo_way,
+                      compute_spatial_masks=not cfg.device_spatial_masks,
                       on_truncate=on_truncate,
                       union_cache_path=cache_path,
                       union_cache_dtype=cfg.union_feat_cache_dtype,
@@ -414,7 +451,8 @@ def run_training(cfg, args, build_model_fn):
                         feat_dim=cfg.feat_dim,
                         zero_union=union_provider is None,
                         rel_bf16=cfg.dtype == "bfloat16",
-                        num_workers=cfg.num_workers):
+                        num_workers=cfg.num_workers,
+                        device_masks=cfg.device_spatial_masks):
                     yield cfg.batch_videos, b
         else:
             def batch_iter():
