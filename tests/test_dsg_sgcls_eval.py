@@ -23,41 +23,91 @@ class _Logger:
     warning = info
 
 
-@pytest.mark.slow
-def test_sgcls_eval_through_evaluator(tmp_path, monkeypatch, rng):
-    from nl_vsgg_tpu.data.entry import pick_bucket
+def _fake_builder_factory(rng):
+    from nl_vsgg_tpu.data.entry import POOL, pick_bucket
     from nl_vsgg_tpu.data.gt_entry import build_gt_entry
-    from tests.fixtures import build_micro_ag
-
-    ag = build_micro_ag(str(tmp_path), n_videos=2, n_frames=3, feat_dim=FEAT)
-    cfg = load_config(None, {"mode": "sgcls", "data_path": ag,
-                             "feat_dim": FEAT, "seed": 0})
-    dsg = _load_tool("test_DSG_DETR")
 
     Wf = rng.standard_normal((4, FEAT)).astype(np.float32) * 0.1
     Wc = rng.standard_normal((FEAT, 1595)).astype(np.float32) * 0.1
 
     def fake_make_builder(cfg):
-        def build(ds, idx, buckets):
+        def build(ds, idx, buckets, return_union_fn=False):
             gt = ds.gt_annotations[idx]
             n_boxes = sum(len(f) for f in gt)
             bb = pick_bucket(buckets.max_boxes, n_boxes)
             br = pick_bucket(buckets.max_rels, n_boxes)
             feature_fn = lambda i, boxes: np.asarray(boxes, np.float32) @ Wf
             classify_fn = lambda feats: np.asarray(feats) @ Wc
-            return build_gt_entry(gt, "sgcls", bb, br, feature_fn,
-                                  classify_fn=classify_fn, feat_dim=FEAT,
-                                  rng=np.random.default_rng(0))
+            e = build_gt_entry(gt, "sgcls", bb, br, feature_fn,
+                               classify_fn=classify_fn, feat_dim=FEAT,
+                               rng=np.random.default_rng(0))
+            if return_union_fn:
+                def uf(i, boxes):
+                    local = np.random.default_rng(50 + i)
+                    return local.standard_normal(
+                        (len(boxes), POOL, POOL, FEAT)).astype(np.float32)
+                return e, uf
+            return e
         return build
 
-    monkeypatch.setattr(dsg.base_test, "make_gt_entry_builder", fake_make_builder)
+    return fake_make_builder
+
+
+def _run_sgcls(tool_name, tmp_path, monkeypatch, rng):
+    """Drive evaluate_sgcls on the micro AG; capture the rebuilt entries."""
+    from nl_vsgg_tpu.data import grounding
+    from tests.fixtures import build_micro_ag
+
+    ag = build_micro_ag(str(tmp_path), n_videos=2, n_frames=3, feat_dim=FEAT)
+    cfg = load_config(None, {"mode": "sgcls", "data_path": ag,
+                             "feat_dim": FEAT, "seed": 0})
+    tool = _load_tool(tool_name)
+    base = tool if tool_name == "test_STTran" else tool.base_test
+    monkeypatch.setattr(base, "make_gt_entry_builder", _fake_builder_factory(rng))
+
+    captured = []
+    real_e2p = grounding.entry_to_eval_pred
+
+    def spy(entry, pred):
+        captured.append((entry, pred))
+        return real_e2p(entry, pred)
+
+    monkeypatch.setattr(grounding, "entry_to_eval_pred", spy)
     args = argparse.Namespace(model_path=None, max_videos=0, cfg_file=None,
                               device_eval=False)
-    ev = dsg.evaluate_sgcls(cfg, args, _Logger())
-    # evaluator consumed every video and produced finite recalls
+    ev = tool.evaluate_sgcls(cfg, args, _Logger())
+    return ev, captured
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("tool_name", ["test_STTran", "test_DSG_DETR"])
+def test_sgcls_eval_reassigns_through_evaluator(tool_name, tmp_path,
+                                                monkeypatch, rng):
+    """The sgcls eval flow must feed the evaluator REBUILT entries: labels
+    reassigned by the classifier (lib/sttran.py:93-170), one person per
+    frame, pairs person->object over predicted labels, nonzero union
+    features at the new union boxes."""
+    ev, captured = _run_sgcls(tool_name, tmp_path, monkeypatch, rng)
     rec = ev.recall[20]
-    assert len(rec) > 0
-    assert np.isfinite(np.mean(rec))
+    assert len(rec) > 0 and np.isfinite(np.mean(rec))
+    assert captured, "evaluator never saw a rebuilt entry"
+    for entry, pred in captured:
+        nb = int(np.asarray(entry.box_mask).sum())
+        nr = int(np.asarray(entry.rel_mask).sum())
+        labels = np.asarray(entry.labels)[:nb]
+        frames = np.asarray(entry.box_frame)[:nb]
+        pair = np.asarray(entry.pair_idx)[:nr]
+        # exactly one person per frame, chosen by the classifier
+        for f in np.unique(frames):
+            assert (labels[frames == f] == 1).sum() == 1
+        # pairs person -> predicted-object
+        assert (labels[pair[:, 0]] == 1).all()
+        assert (labels[pair[:, 1]] != 1).all()
+        # union features re-extracted at the new pairs (stage-2 entry, not
+        # the zero-union stage-1 GT entry)
+        assert np.abs(np.asarray(entry.union_feat)[:nr]).sum() > 0
+        # scores are the assigned softmax scores (<1), not GT ones
+        assert (np.asarray(entry.scores)[:nb] < 1.0).all()
 
 
 def test_sgcls_group_ids_cover_all_rows(rng):

@@ -5,7 +5,8 @@ sgdet (weak supervision, the shipped path) delegates to the shared test loop.
 sgcls runs the reference's tracker plumbing (ref tools/test_DSG_DETR.py:85,
 lib/track.py:154-243): GT-box entries get VinVL features, the host tracker
 clusters boxes into tracklets, and the cluster ids drive the tracklet
-attention via DSGDETR(group_id=...).
+attention via DSGDETR(group_id=...) — through the shared two-stage
+classifier-reassignment eval flow (test_STTran.evaluate_sgcls).
 """
 
 from __future__ import annotations
@@ -18,9 +19,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import jax
-import jax.numpy as jnp
 
 import test_STTran as base_test
 from train_DSG_DETR import build_model
@@ -55,56 +53,12 @@ def sgcls_group_ids(entry, ds, idx) -> np.ndarray:
 
 
 def evaluate_sgcls(cfg, args, logger):
-    from nl_vsgg_tpu.data import schema
-    from nl_vsgg_tpu.data.action_genome import AGTest
-    from nl_vsgg_tpu.eval import SceneGraphEvaluator
-    from nl_vsgg_tpu.train import create_train_state, make_optimizer
-    from nl_vsgg_tpu.utils.checkpoint import restore_checkpoint
-
-    tax = schema.load_taxonomy()
-    ds_test = AGTest(cfg.data_path if cfg.data_path.endswith("annotations")
-                     else os.path.join(cfg.data_path, "annotations"))
-    logger.info(f"test videos: {len(ds_test)}")
-    model = build_model(cfg, tax)
-    builder = base_test.make_gt_entry_builder(cfg)
-
-    sample_i, sample = None, None
-    for i in range(len(ds_test)):
-        sample = builder(ds_test, i, cfg.buckets)
-        if sample is not None:
-            sample_i = i
-            break
-    assert sample is not None
-    state, _ = create_train_state(model, sample, jax.random.key(cfg.seed),
-                                  tx=make_optimizer(cfg.lr))
-    if args.model_path:
-        state = restore_checkpoint(args.model_path, state)
-
-    @jax.jit
-    def eval_one(state, e, gid):
-        return model.apply({"params": state.params,
-                            "batch_stats": state.batch_stats},
-                           e, train=False, group_id=gid)
-
-    from nl_vsgg_tpu.data.grounding import entry_to_eval_pred
-
-    evaluator = SceneGraphEvaluator(mode="sgcls", taxonomy=tax)
-    n = len(ds_test) if not args.max_videos else min(args.max_videos, len(ds_test))
-    for i in range(n):
-        gt = ds_test.gt_annotations[i]
-        # the init sample already paid this video's full feature extraction
-        e = sample if i == sample_i else builder(ds_test, i, cfg.buckets)
-        if e is None:
-            evaluator.evaluate_scene_graph(gt, {})
-            continue
-        gid = sgcls_group_ids(e, ds_test, i)
-        e_dev = jax.tree.map(jnp.asarray, e)
-        pred = eval_one(state, e_dev, jnp.asarray(gid))
-        pd = entry_to_eval_pred(e, pred)
-        evaluator.evaluate_scene_graph(gt, pd)
-    evaluator.calculate_mean_recall()
-    evaluator.print_stats(logger)
-    return evaluator
+    """Shared two-stage sgcls flow (classifier -> host reassignment ->
+    rebuilt relation pass, base_test.evaluate_sgcls) with the DSG-DETR
+    tracker supplying tracklet group ids to BOTH stages (same box table)."""
+    return base_test.evaluate_sgcls(cfg, args, logger,
+                                    build_model_fn=build_model,
+                                    group_id_fn=sgcls_group_ids)
 
 
 def main():

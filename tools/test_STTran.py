@@ -14,6 +14,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
@@ -45,7 +46,7 @@ def make_gt_entry_builder(cfg):
         p = det.variables["params"]["box_head"]["predictor"]["cls_score"]
         return feats @ np.asarray(p["kernel"]) + np.asarray(p["bias"])
 
-    def build(ds, idx, buckets):
+    def build(ds, idx, buckets, return_union_fn=False):
         frames = [cv2.imread(os.path.join(cfg.data_path, "frames", f))
                   for f in ds.video_list[idx]]
         uf = det.make_union_feature_fn(frames)
@@ -57,12 +58,119 @@ def make_gt_entry_builder(cfg):
         n_boxes = sum(len(f) for f in gt)
         bb = pick_bucket(buckets.max_boxes, n_boxes)
         br = pick_bucket(buckets.max_rels, n_boxes)
-        return build_gt_entry(gt, cfg.mode, bb, br, feature_fn,
-                              union_feature_fn=uf if cfg.mode == "predcls" else None,
-                              classify_fn=classify if cfg.mode == "sgcls" else None,
-                              feat_dim=cfg.feat_dim)
+        e = build_gt_entry(gt, cfg.mode, bb, br, feature_fn,
+                           union_feature_fn=uf if cfg.mode == "predcls" else None,
+                           classify_fn=classify if cfg.mode == "sgcls" else None,
+                           feat_dim=cfg.feat_dim,
+                           compute_spatial_masks=not cfg.device_spatial_masks)
+        if return_union_fn:
+            # sgcls rebuilds pairs after label reassignment and re-extracts
+            # union features at the NEW union boxes (lib/sttran.py:142-170)
+            return e, uf
+        return e
 
     return build
+
+
+def evaluate_sgcls(cfg, args, logger, build_model_fn=build_model,
+                   group_id_fn=None):
+    """SGCLS evaluation with the reference's eval-time reassignment.
+
+    The reference's sgcls test branch (lib/sttran.py:93-170, mirrored at
+    lib/dsg_detr.py:185-275) runs INSIDE the model forward: softmax the
+    37-way classifier logits, pick the most-human box per frame, greedily
+    resolve duplicate classes, rebuild person->object pairs from the
+    PREDICTED labels, re-extract union features at the new union boxes and
+    re-rasterize the spatial masks, then feed the relation head. Here that
+    is a two-stage flow around the same jit model:
+
+      stage 1: model forward on the GT-box entry -> 37-way logits
+      host:    models/sgcls_infer.sgcls_assign (golden-tested) -> new
+               labels/scores/pairs; data/infer_entry.build_infer_entry packs
+               them with re-extracted union features + fresh masks
+      stage 2: model forward on the rebuilt entry -> relation distributions
+
+    The evaluator consumes the rebuilt entry's pred_labels/pred_scores —
+    exactly the reference's mutated-entry semantics.
+
+    `group_id_fn(entry, ds, idx) -> (n_boxes,) int32` is the DSG-DETR
+    tracker hook (tools/test_DSG_DETR.py): the box table is identical in
+    both stages, so one tracker pass serves both. NOTE the reference's own
+    DSG-DETR sgcls eval branch is unrunnable as written — it overwrites
+    entry['features'] with the 2376-d encoder output and then feeds its
+    2048-in subj_fc (lib/dsg_detr.py:214,518) — so for DSG-DETR this flow
+    is the documented repair: RoI features are kept for the relation head.
+    """
+    import jax.numpy as jnp
+
+    from nl_vsgg_tpu.data.grounding import entry_to_eval_pred
+    from nl_vsgg_tpu.data.infer_entry import build_infer_entry
+    from nl_vsgg_tpu.models.sgcls_infer import sgcls_assign
+
+    tax = schema.load_taxonomy()
+    ds_test = AGTest(cfg.data_path if cfg.data_path.endswith("annotations")
+                     else os.path.join(cfg.data_path, "annotations"))
+    logger.info(f"test videos: {len(ds_test)}")
+    model = build_model_fn(cfg, tax)
+    builder = make_gt_entry_builder(cfg)
+
+    sample_i, sample, sample_uf = None, None, None
+    for i in range(len(ds_test)):
+        sample, sample_uf = builder(ds_test, i, cfg.buckets, return_union_fn=True)
+        if sample is not None:
+            sample_i = i
+            break
+    assert sample is not None
+    state, _ = create_train_state(model, sample, jax.random.key(cfg.seed),
+                                  tx=make_optimizer(cfg.lr))
+    if args.model_path:
+        state = restore_checkpoint(args.model_path, state)
+
+    if group_id_fn is None:
+        @jax.jit
+        def _run(state, e):
+            return model.apply({"params": state.params,
+                                "batch_stats": state.batch_stats}, e, train=False)
+        run = lambda st, e, gid: _run(st, e)
+    else:
+        @jax.jit
+        def _run_g(state, e, gid):
+            return model.apply({"params": state.params,
+                                "batch_stats": state.batch_stats},
+                               e, train=False, group_id=gid)
+        run = _run_g
+
+    evaluator = SceneGraphEvaluator(mode="sgcls", taxonomy=tax)
+    n = len(ds_test) if not args.max_videos else min(args.max_videos, len(ds_test))
+    for i in range(n):
+        gt = ds_test.gt_annotations[i]
+        e, uf = ((sample, sample_uf) if i == sample_i
+                 else builder(ds_test, i, cfg.buckets, return_union_fn=True))
+        if e is None:
+            evaluator.evaluate_scene_graph(gt, {})
+            continue
+        gid = (jnp.asarray(group_id_fn(e, ds_test, i))
+               if group_id_fn is not None else None)
+        stage1 = run(state, jax.tree.map(jnp.asarray, e), gid)
+        nb = int(np.asarray(e.box_mask).sum())
+        assign = sgcls_assign(np.asarray(stage1["distribution"])[:nb],
+                              np.asarray(e.box_frame)[:nb])
+        assign.update(boxes=np.asarray(e.boxes)[:nb],
+                      box_frame=np.asarray(e.box_frame)[:nb],
+                      features=np.asarray(e.features)[:nb])
+        e2 = build_infer_entry(
+            assign, int(e.num_frames), e.n_boxes, e.n_rels,
+            union_feat_fn=uf, feat_dim=cfg.feat_dim,
+            compute_spatial_masks=not cfg.device_spatial_masks)
+        if e2 is None:  # every box classified person -> no pairs
+            evaluator.evaluate_scene_graph(gt, {})
+            continue
+        pred = run(state, jax.tree.map(jnp.asarray, e2), gid)
+        evaluator.evaluate_scene_graph(
+            gt, entry_to_eval_pred(e2, jax.device_get(pred)))
+    evaluator.calculate_mean_recall()
+    evaluator.print_stats(logger)
+    return evaluator
 
 
 def main(argv=None, build_model_fn=build_model):
@@ -79,6 +187,10 @@ def main(argv=None, build_model_fn=build_model):
 
     cfg = load_config(args.cfg_file)
     logger = setup_logger()
+    if cfg.mode == "sgcls":
+        # classifier-reassignment flow (two model stages + host rebuild)
+        evaluate_sgcls(cfg, args, logger, build_model_fn=build_model_fn)
+        return
     tax = schema.load_taxonomy()
     ds_test = AGTest(cfg.data_path if cfg.data_path.endswith("annotations")
                      else os.path.join(cfg.data_path, "annotations"))
@@ -86,7 +198,7 @@ def main(argv=None, build_model_fn=build_model):
 
     model = build_model_fn(cfg, tax)
     zero_union = False
-    if cfg.mode in ("predcls", "sgcls"):
+    if cfg.mode == "predcls":
         builder = make_gt_entry_builder(cfg)
         get_entry = lambda i: builder(ds_test, i, cfg.buckets)
     else:
