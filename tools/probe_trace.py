@@ -73,6 +73,11 @@ def main():
                         "host fetch, so IDLE reflects the tunnel round trip "
                         "between calls — read op SHARES of non-IDLE time "
                         "(the bench's chained fori_loop has no such gaps)")
+    p.add_argument("--detector", action="store_true",
+                   help="trace the VinVL-JAX detect_batch (8f x 608x1024, "
+                        "bench_suite's detector row shapes) instead of the "
+                        "train step — the attribution behind any detector "
+                        "kernel work (is it MXU- or HBM-bound, and where)")
     p.add_argument("--logdir", default=None)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--parse_only", default=None,
@@ -85,6 +90,39 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    if args.detector:
+        from jax import lax
+
+        from nl_vsgg_tpu.detector.anchors import grid_anchors
+        from nl_vsgg_tpu.detector.attr_rcnn import AttrRCNNJax
+
+        print(f"# device: {jax.devices()[0].device_kind}", flush=True)
+        F, H, W = 8, 608, 1024
+        det = AttrRCNNJax.create(
+            compute_dtype=None if args.fp32 else "bfloat16")
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.standard_normal((F, H, W, 3)).astype(np.float32))
+        anchors = jnp.asarray(grid_anchors(H // 16, W // 16))
+        im_hw = jnp.asarray([600.0, 1013.0], jnp.float32)
+        inner = det._detect_batch
+
+        @jax.jit
+        def chained(v, imgs, n):
+            def body(i, c):
+                out = inner(v, imgs + c * 1e-30, anchors, im_hw)
+                return c + jnp.sum(out) * 1e-30
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        float(chained(det.variables, imgs, 1))  # compile outside the trace
+        logdir = args.logdir or tempfile.mkdtemp(prefix="nlvsgg_trace_")
+        print(f"# tracing {args.steps} chained detect_batch calls -> {logdir}",
+              flush=True)
+        with jax.profiler.trace(logdir):
+            float(chained(det.variables, imgs, args.steps))
+        parse_xplane(logdir, args.top)
+        print(f"# logdir kept: {logdir}")
+        return
 
     from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
     from nl_vsgg_tpu.models.sttran import STTran
