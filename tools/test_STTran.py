@@ -189,8 +189,7 @@ def main(argv=None, build_model_fn=build_model):
     logger = setup_logger()
     if cfg.mode == "sgcls":
         # classifier-reassignment flow (two model stages + host rebuild)
-        evaluate_sgcls(cfg, args, logger, build_model_fn=build_model_fn)
-        return
+        return evaluate_sgcls(cfg, args, logger, build_model_fn=build_model_fn)
     tax = schema.load_taxonomy()
     ds_test = AGTest(cfg.data_path if cfg.data_path.endswith("annotations")
                      else os.path.join(cfg.data_path, "annotations"))
@@ -242,6 +241,7 @@ def main(argv=None, build_model_fn=build_model):
                 f"device R@K excluded {dropped} GT relations past the "
                 f"frame/relation buckets — the host numbers above are the "
                 f"source of truth (raise f_bucket/g_max to compare)")
+    return evaluator
 
 
 if __name__ == "__main__":

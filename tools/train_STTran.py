@@ -308,6 +308,22 @@ def run_training(cfg, args, build_model_fn):
         raise ValueError("is_wks=false sgdet training is not a shipped "
                          "NL-VSGG recipe; see models/sgdet_infer for the "
                          "non-wks inference path")
+    if cfg.mode != "sgdet":
+        # The reference routes sgcls/predcls training through the GT-box
+        # detector path after printing "error! we do not train predcls and
+        # sgcls task!" (lib/object_detector.py:47-55) — and then crashes:
+        # sgcls entries carry no union_feat for the relation head
+        # (lib/object_detector.py:144-171 vs lib/sttran.py:380), and predcls
+        # feeds the 36-wide one-hot passthrough distribution into a 37-label
+        # CrossEntropy (tools/train_STTran.py:172). Training those modes is
+        # not a recipe anywhere; refuse loudly instead of reaching the wrong
+        # data path. sgcls/predcls EVALUATION is fully supported
+        # (tools/test_STTran.py, incl. the sgcls reassignment flow).
+        raise ValueError(
+            f"mode={cfg.mode!r} training is not a shipped NL-VSGG recipe "
+            "(the reference prints 'error! we do not train predcls and "
+            "sgcls task!' and its GT-box train path cannot run); use "
+            "tools/test_STTran.py for sgcls/predcls evaluation")
     # multi-host: must run before the first device use (parallel/distributed)
     from nl_vsgg_tpu.parallel.distributed import (DistributedBatcher,
                                                   allgather_obj,
