@@ -25,7 +25,13 @@ import numpy as np
 from . import schema
 from .entry import FEAT_DIM, MASK_P, POOL, Entry, pad_entry
 from .grounding import create_dis
-from ..eval.recall import np_softmax as _softmax
+
+
+def _softmax(x):
+    # deferred import: eval.recall imports data.schema, so a module-level
+    # import here is circular when nl_vsgg_tpu.eval is imported first
+    from ..eval.recall import np_softmax
+    return np_softmax(x)
 
 
 def build_gt_entry(gt_annotation, mode: str, bucket_boxes: int, bucket_rels: int,
