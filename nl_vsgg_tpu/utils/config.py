@@ -118,6 +118,15 @@ class Config:
     # train steps (from step 2) into <save_path>/trace for TensorBoard/XProf
     device_eval: bool = False  # additionally score R@K on device during the
     # epoch eval (fast path; the host evaluator stays the reported truth)
+    device_eval_promote: bool = False  # after `device_eval_burnin` videos of
+    # exact host/device R@K agreement within an epoch eval, stop running the
+    # host evaluator for the remaining videos and drive the plateau metric
+    # (mean R@20) from the on-device scorer (eval/recall_jax). Any burn-in
+    # mismatch (incl. bucket-dropped GT) falls back to the full host eval
+    # for that epoch. Final reported numbers should come from tools/test_*
+    # (host evaluator, the source of truth). Single-process runs only.
+    device_eval_burnin: int = 16  # videos compared host-vs-device before
+    # promotion takes effect (per epoch)
     remat: bool = False  # rematerialize the temporal-transformer layers in
     # backward (jax.checkpoint): trades recompute FLOPs for activation
     # memory — enables bigger train batches/buckets per chip

@@ -23,7 +23,9 @@ def test_train_then_eval_roundtrip(tmp_path, monkeypatch, capsys):
            "frame_features_path": os.path.join(ag, "frame_features"),
            "save_path": str(tmp_path / "out"),
            # exercise the observability/extra-eval knobs end-to-end
-           "device_eval": True, "profile_steps": 1}
+           "device_eval": True, "profile_steps": 1,
+           # burn-in promotion of the on-device scorer (plateau metric)
+           "device_eval_promote": True, "device_eval_burnin": 2}
     cfg_path = str(tmp_path / "cfg.yml")
     with open(cfg_path, "w") as f:
         yaml.dump(cfg, f)
@@ -34,6 +36,13 @@ def test_train_then_eval_roundtrip(tmp_path, monkeypatch, capsys):
     assert os.path.isdir(os.path.join(cfg["save_path"], "ckpt", "0"))
     assert os.path.isfile(os.path.join(cfg["save_path"], "metrics.jsonl"))
     assert os.path.isdir(os.path.join(cfg["save_path"], "trace"))  # profiler
+    log_file = os.path.join(cfg["save_path"], "log.txt")
+    if os.path.isfile(log_file):  # file handler attaches once per process
+        with open(log_file) as f:
+            log = f.read()
+        # the on-device scorer must agree with the host evaluator through
+        # burn-in and take over the plateau metric (no silent fallback)
+        assert "device evaluator promoted" in log, log[-2000:]
 
     test = _load_tool("test_STTran")
     monkeypatch.setattr(sys, "argv", ["test_STTran.py", "--cfg", cfg_path,

@@ -1,0 +1,125 @@
+"""Burn-in promotion of the on-device R@K scorer (DeviceEvalPromotion).
+
+VERDICT r2 item 7: during epoch eval, compare eval/recall_jax vs the host
+evaluator for the first N videos; on exact agreement let the device number
+drive the plateau metric (mean R@20, /root/reference/tools/train_STTran.py:228)
+and skip the host evaluator for the rest. ANY burn-in mismatch must fall back
+to the full host eval for that epoch. These tests pin the state machine with
+host-derived rows (device<->host numeric parity itself is covered by
+tests/test_recall_jax.py).
+"""
+
+import numpy as np
+import pytest
+
+from nl_vsgg_tpu.eval import SceneGraphEvaluator
+from tests.fixtures import load_tool
+from tests.test_eval_recall import _random_video
+
+pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def train_mod():
+    return load_tool("train_STTran")
+
+
+def _marks(ev):
+    return {"recall": len(ev.recall[10]),
+            "recall_nogc": len(ev.recall_nogc[10]),
+            "semi": len(ev.semi_recall[10])}
+
+
+def _host_score_row(ev, gt, pred):
+    """Host-score one video and return its per-frame rows in the device
+    layout ({name: (F, 3)}), i.e. exactly what a correct device scorer
+    yields (parity pinned in tests/test_recall_jax.py)."""
+    marks = _marks(ev)
+    ev.evaluate_scene_graph(gt, pred)
+    row = {"gt_dropped": 0}
+    for name, sink in (("recall", ev.recall), ("recall_nogc", ev.recall_nogc),
+                       ("semi", ev.semi_recall)):
+        row[name] = np.stack(
+            [np.asarray(sink[k][marks[name]:], np.float32)
+             for k in (10, 20, 50)], axis=-1)
+    return marks, row
+
+
+def test_promotes_after_exact_burnin(train_mod, rng):
+    ev = SceneGraphEvaluator(mode="sgdet")
+    promo = train_mod.DeviceEvalPromotion(burnin=2)
+    # burn-in: 2 videos, device rows == host rows
+    for _ in range(2):
+        gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+        assert promo.host_needed()
+        marks, row = _host_score_row(ev, gt, pred)
+        promo.add(row, ev, host_marks=marks)
+    assert promo.promoted and not promo.host_needed()
+    # post-promotion: device-only rows, host evaluator untouched
+    n_host = len(ev.recall[20])
+    gt, pred = _random_video(rng, n_frames=4, n_objs=2)
+    ev2 = SceneGraphEvaluator(mode="sgdet")
+    _, row = _host_score_row(ev2, gt, pred)
+    promo.add(row, ev)
+    assert len(ev.recall[20]) == n_host
+    # plateau metric == host mean over the SAME videos (rows are host-exact)
+    expect = float(np.mean(ev.recall[20] + ev2.recall[20]))
+    assert promo.score(20) == pytest.approx(expect, abs=1e-7)
+
+
+def test_value_mismatch_falls_back_for_the_epoch(train_mod, rng):
+    ev = SceneGraphEvaluator(mode="sgdet")
+    promo = train_mod.DeviceEvalPromotion(burnin=2)
+    gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+    marks, row = _host_score_row(ev, gt, pred)
+    promo.add(row, ev, host_marks=marks)
+    gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+    marks, row = _host_score_row(ev, gt, pred)
+    row["semi"] = row["semi"] + 0.25  # a divergent device scorer
+    promo.add(row, ev, host_marks=marks)
+    assert promo.checked == 2
+    assert not promo.promoted and promo.host_needed()
+    # further agreement does NOT resurrect promotion within the epoch
+    gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+    marks, row = _host_score_row(ev, gt, pred)
+    promo.add(row, ev, host_marks=marks)
+    assert not promo.promoted and promo.host_needed()
+
+
+def test_gt_dropped_blocks_promotion(train_mod, rng):
+    ev = SceneGraphEvaluator(mode="sgdet")
+    promo = train_mod.DeviceEvalPromotion(burnin=1)
+    gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+    marks, row = _host_score_row(ev, gt, pred)
+    row["gt_dropped"] = 2  # device buckets truncated GT -> scores not exact
+    promo.add(row, ev, host_marks=marks)
+    assert not promo.promoted
+
+
+def test_frame_count_mismatch_blocks_promotion(train_mod, rng):
+    ev = SceneGraphEvaluator(mode="sgdet")
+    promo = train_mod.DeviceEvalPromotion(burnin=1)
+    gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+    marks, row = _host_score_row(ev, gt, pred)
+    for name in ("recall", "recall_nogc", "semi"):
+        row[name] = row[name][:-1]  # device saw fewer GT frames
+    promo.add(row, ev, host_marks=marks)
+    assert not promo.promoted
+
+
+def test_skip_rows_mirror_host_zero_rows(train_mod, rng):
+    """Grounding-failure videos: the host appends one 0.0 row per frame
+    (eval/recall.py evaluate_scene_graph empty-pred path); the promoted
+    metric must include the same zero rows or the epoch mean is biased up."""
+    ev = SceneGraphEvaluator(mode="sgdet")
+    promo = train_mod.DeviceEvalPromotion(burnin=1)
+    gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+    marks, row = _host_score_row(ev, gt, pred)
+    promo.add(row, ev, host_marks=marks)
+    assert promo.promoted
+    gt2, _ = _random_video(rng, n_frames=5, n_objs=2)
+    promo.add_skip(gt2)
+    ev.evaluate_scene_graph(gt2, {})  # host twin of the skip
+    assert promo.score(20) == pytest.approx(float(np.mean(ev.recall[20])),
+                                            abs=1e-7)
+    assert len(ev.recall[20]) == 3 + 5

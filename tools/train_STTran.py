@@ -230,9 +230,68 @@ def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
                       union_cache_key=cache_key)
 
 
+class DeviceEvalPromotion:
+    """Burn-in equivalence check that promotes the on-device R@K scorer.
+
+    For the first `burnin` videos of an epoch eval both evaluators run and
+    their with/no-constraint/semi R@K rows are compared exactly (atol 1e-6
+    covers fp32-vs-float64 division only; hit counts must agree). On full
+    agreement the host evaluator is skipped for the remaining videos
+    (~22 ms/video of host numpy at real AG scale vs ~4 ms device) and
+    `score(20)` — the plateau metric — comes from the device rows. ANY
+    mismatch, including GT dropped past the device buckets, disables
+    promotion for the whole epoch (the host evaluator covers every video
+    as before). Final reported numbers should always come from the host
+    evaluator (tools/test_*); this only accelerates the per-epoch metric.
+    """
+
+    def __init__(self, burnin: int = 16):
+        self.burnin = burnin
+        self.checked = 0
+        self.ok = True
+        self.rows: list[dict] = []
+
+    @property
+    def promoted(self) -> bool:
+        return self.ok and self.checked >= self.burnin
+
+    def host_needed(self) -> bool:
+        return not self.promoted
+
+    def add_skip(self, gt_annotation) -> None:
+        # grounding produced nothing: the host evaluator appends one 0.0 row
+        # per frame (eval/recall.py:230-238); mirror that frame count
+        z = np.zeros((len(gt_annotation), 3), np.float32)
+        self.rows.append({"recall": z, "recall_nogc": z, "semi": z,
+                          "gt_dropped": 0})
+
+    def add(self, dev_row: dict, evaluator, host_marks=None) -> None:
+        """dev_row: device_eval_video output. host_marks: per-sink list
+        lengths captured BEFORE the host scored this video (burn-in only)."""
+        self.rows.append(dev_row)
+        if host_marks is None:
+            return
+        self.checked += 1
+        ok = dev_row.get("gt_dropped", 0) == 0
+        for name, sink in (("recall", evaluator.recall),
+                           ("recall_nogc", evaluator.recall_nogc),
+                           ("semi", evaluator.semi_recall)):
+            host = np.stack([np.asarray(sink[k][host_marks[name]:], np.float64)
+                             for k in (10, 20, 50)], axis=-1)
+            dev = np.asarray(dev_row[name], np.float64)
+            ok &= host.shape == dev.shape and np.allclose(host, dev, atol=1e-6)
+        self.ok &= ok
+
+    def score(self, k: int = 20) -> float:
+        col = {10: 0, 20: 1, 50: 2}[k]
+        r = np.concatenate([d["recall"] for d in self.rows]) if self.rows \
+            else np.zeros((0, 3))
+        return float(r[:, col].mean()) if len(r) else 0.0
+
+
 def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
                    evaluator=None, device_recalls=None, zero_union=False,
-                   indices=None, place_fn=None):
+                   indices=None, place_fn=None, promotion=None):
     """Streaming evaluation over the test split (train_STTran.py:210-232).
 
     Entries are grounded by the prefetcher, grouped into at most ONE pending
@@ -258,11 +317,24 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
         pred = jax.device_get(handles)
         for bi, (i, e) in enumerate(items):
             p = entry_to_eval_pred(e, {k: v[bi] for k, v in pred.items()})
-            evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
-            if device_recalls is not None:
+            dev_row = None
+            if device_recalls is not None or promotion is not None:
                 from nl_vsgg_tpu.eval.recall_jax import device_eval_video
-                device_recalls.append(device_eval_video(
-                    e, p, ds_test.gt_annotations[i], evaluator, f_bucket=32))
+                dev_row = device_eval_video(
+                    e, p, ds_test.gt_annotations[i], evaluator, f_bucket=32)
+            if device_recalls is not None:
+                device_recalls.append(dev_row)
+            if promotion is None:
+                evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
+                continue
+            if promotion.host_needed():
+                marks = {"recall": len(evaluator.recall[10]),
+                         "recall_nogc": len(evaluator.recall_nogc[10]),
+                         "semi": len(evaluator.semi_recall[10])}
+                evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
+                promotion.add(dev_row, evaluator, host_marks=marks)
+            else:  # promoted: device rows only, host evaluator skipped
+                promotion.add(dev_row, evaluator)
 
     # double-buffered: dispatch batch i (async), THEN fetch + host-score
     # batch i-1 — the device computes while the host evaluator runs
@@ -270,7 +342,11 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
     buf = DoubleBuffer()
     for kind, payload in bucket_events(iter(prefetcher), cfg.batch_videos):
         if kind == "skip":
+            # empty-pred host scoring is one zeros-append per frame — run it
+            # even under promotion (its rows are simply unused when promoted)
             evaluator.evaluate_scene_graph(ds_test.gt_annotations[payload], {})
+            if promotion is not None:
+                promotion.add_skip(ds_test.gt_annotations[payload])
             continue
         items = payload
         batch = place_entries([e for _, e in items], zero_union=zero_union,
@@ -527,6 +603,13 @@ def run_training(cfg, args, build_model_fn):
 
         # ---- per-epoch evaluation (train_STTran.py:210-232), streamed ----
         device_recalls = [] if cfg.device_eval else None
+        promotion = None
+        if cfg.device_eval_promote:
+            if multiproc:
+                logger.warning("device_eval_promote is single-process only "
+                               "(burn-in spans one evaluator); ignoring")
+            else:
+                promotion = DeviceEvalPromotion(cfg.device_eval_burnin)
         if multiproc:
             # each process scores its strided shard of the test split with a
             # LOCAL copy of the (replicated-to-host) weights, then the
@@ -550,7 +633,8 @@ def run_training(cfg, args, build_model_fn):
                                    zero_union=union_provider is None,
                                    indices=my_idx,
                                    place_fn=None if (multiproc or mesh is None)
-                                   else place_batch)
+                                   else place_batch,
+                                   promotion=promotion)
         if multiproc:
             merge_evaluators(evaluator)
             if device_recalls is not None:
@@ -574,7 +658,20 @@ def run_training(cfg, args, build_model_fn):
             logger.warning(
                 f"epoch {epoch} eval: bucket truncation dropped {eb} boxes / "
                 f"{er} relations across {ev} test videos — enlarge cfg.buckets")
-        score = evaluator.mean_score(20)
+        if promotion is not None and promotion.promoted:
+            score = promotion.score(20)
+            logger.info(
+                f"device evaluator promoted after {promotion.checked} burn-in "
+                f"videos of exact agreement: epoch metric (mean R@20 = "
+                f"{score:.4f}) is device-scored; host stats below cover only "
+                f"the burn-in — run tools/test_*.py for reported numbers")
+        else:
+            if promotion is not None:
+                logger.warning(
+                    f"device evaluator NOT promoted (mismatch within "
+                    f"{promotion.checked} burn-in videos); host eval covered "
+                    f"the full split as usual")
+            score = evaluator.mean_score(20)
         evaluator.calculate_mean_recall()
         logger.info(f"------------Inference in Epoch ({epoch})------------")
         evaluator.print_stats(logger)
