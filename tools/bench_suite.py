@@ -52,6 +52,24 @@ def check_physical(flops_per_iter: float, dt_per_iter: float, label: str) -> flo
     return tf
 
 
+def timed_delta(make_chained, *args, iters: int, k: int = 3):
+    """Per-iteration wall time via two-point differencing.
+
+    The tunneled axon platform charges a fixed ~25-45 ms dispatch+fetch cost
+    on EVERY host-timed call. At small iteration counts that fixed cost
+    swamps sub-ms ops: a ~150 us pallas matmul 'measured' 1.5 ms/iter at
+    iters=20 (round-3 discovery — every pre-r3 sub-ms row was inflated by
+    +F/iters). Timing T(k*iters) - T(iters) cancels fixed per-call costs
+    exactly, leaving pure per-iteration work.
+
+    make_chained(n) -> fn(*args) running n carry-chained iterations and
+    returning a scalar whose float() forces a real device fetch."""
+    f1, fk = make_chained(iters), make_chained(k * iters)
+    d1 = timed(lambda *a: float(f1(*a)), *args)
+    dk = timed(lambda *a: float(fk(*a)), *args)
+    return max(dk - d1, 1e-9) / ((k - 1) * iters)
+
+
 def bench_train_step(iters: int, B: int = 16, dtype=None):
     """fwd+bwd+AdamW at the bench shapes; steps chain through the state.
 
@@ -84,21 +102,22 @@ def bench_train_step(iters: int, B: int = 16, dtype=None):
     # bits alone cost ~16% of the step
     key1 = jax.random.key(1, impl="rbg")
 
-    @jax.jit
-    def chained(state, batch):
-        def body(i, st):
-            st, _ = step(st, batch, jax.random.fold_in(key1, i))
-            return st
-        st = lax.fori_loop(0, iters, body, state)
-        # the fetched scalar must depend on the params, or XLA's while-loop
-        # simplifier dead-code-eliminates the whole update chain (fetching
-        # just st.step measured an empty loop: implied 600+ TFLOP/s)
-        return sum(jnp.sum(x) for x in jax.tree.leaves(st.params)[:4])
+    def make_chained(n):
+        @jax.jit
+        def chained(state, batch):
+            def body(i, st):
+                st, _ = step(st, batch, jax.random.fold_in(key1, i))
+                return st
+            st = lax.fori_loop(0, n, body, state)
+            # the fetched scalar must depend on the params, or XLA's
+            # while-loop simplifier dead-code-eliminates the whole update
+            # chain (fetching just st.step measured an empty loop)
+            return sum(jnp.sum(x) for x in jax.tree.leaves(st.params)[:4])
+        return chained
 
     flops = float(jax.jit(lambda s, b: step(s, b, key1))
                   .lower(state, batch).compile().cost_analysis()["flops"])
-    dt = timed(lambda s, b: float(chained(s, b)), state, batch)
-    per = dt / iters
+    per = timed_delta(make_chained, state, batch, iters=iters)
     tf = check_physical(flops, per, "train_step")
     tag = "bf16" if dtype is not None else "fp32"
     print(f"train_step  b{B}x{F}f {tag}: {per * 1e3:8.2f} ms/step "
@@ -123,22 +142,24 @@ def bench_roi_align(iters: int):
 
     for name, op in (("mm(MXU)", roi_align_mm), ("gather", roi_align),
                      ("pallas", roi_align_pallas)):
-        @jax.jit
-        def chained(fmap, rois, op=op):
-            def body(i, c):
-                out = op(fmap + c * 1e-30, rois, output_size=(14, 14),
-                         spatial_scale=1.0 / 16)
-                return c + jnp.sum(out) * 1e-30
-            return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+        def make_chained(n, op=op):
+            @jax.jit
+            def chained(fmap, rois):
+                def body(i, c):
+                    out = op(fmap + c * 1e-30, rois, output_size=(14, 14),
+                             spatial_scale=1.0 / 16)
+                    return c + jnp.sum(out) * 1e-30
+                return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+            return chained
 
         try:
             flops = float(jax.jit(partial(op, output_size=(14, 14),
                                           spatial_scale=1.0 / 16))
                           .lower(fmap, rois).compile()
                           .cost_analysis().get("flops", 0.0))
-            dt = timed(lambda f, r: float(chained(f, r)), fmap, rois)
-            check_physical(flops, dt / iters, f"roi_align {name}")
-            print(f"roi_align   300 rois {name:8}: {dt / iters * 1e3:8.2f} ms/call")
+            per = timed_delta(make_chained, fmap, rois, iters=iters)
+            check_physical(flops, per, f"roi_align {name}")
+            print(f"roi_align   300 rois {name:8}: {per * 1e3:8.2f} ms/call")
         except Exception as e:
             print(f"roi_align   300 rois {name:8}: unavailable ({type(e).__name__})")
 
@@ -165,22 +186,24 @@ def bench_device_recall(iters: int):
     gt_boxes8 = jnp.asarray(rng.uniform(0, 500, (F, GT, 8)).astype(np.float32))
     gt_mask = jnp.asarray(rng.uniform(size=(F, GT)) > 0.5)
 
-    @jax.jit
-    def chained(att):
-        def body(i, c):
-            r, _ = recall_video_with_constraint(
-                gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx, rel_mask,
-                att + c * 1e-30, sp, con, boxes, labels, scores, F)
-            return c + jnp.sum(r) * 1e-30
-        return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+    def make_chained(n):
+        @jax.jit
+        def chained(att):
+            def body(i, c):
+                r, _ = recall_video_with_constraint(
+                    gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx, rel_mask,
+                    att + c * 1e-30, sp, con, boxes, labels, scores, F)
+                return c + jnp.sum(r) * 1e-30
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+        return chained
 
     flops = float(jax.jit(lambda a: recall_video_with_constraint(
         gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx, rel_mask,
         a, sp, con, boxes, labels, scores, F)[0])
         .lower(att).compile().cost_analysis()["flops"])
-    dt = timed(lambda a: float(chained(a)), att)
-    check_physical(flops, dt / iters, "device R@K")
-    print(f"device R@K  32f x 96rels     : {dt / iters * 1e3:8.3f} ms/video")
+    per = timed_delta(make_chained, att, iters=iters)
+    check_physical(flops, per, "device R@K")
+    print(f"device R@K  32f x 96rels     : {per * 1e3:8.3f} ms/video")
 
 
 def bench_dsg_detr(iters: int):
@@ -208,21 +231,24 @@ def bench_dsg_detr(iters: int):
     def fwd(v, b):
         return jax.vmap(lambda e: model.apply(v, e, train=False))(b)
 
-    @jax.jit
-    def chained(v, b):
-        def body(i, c):
-            bb = b.replace(features=b.features + c * 1e-30)
-            out = fwd(v, bb)
-            # every head feeds the scalar, or XLA DCEs the object classifier
-            s = (jnp.sum(out["attention_distribution"]) +
-                 jnp.sum(out["spatial_logits"]) + jnp.sum(out["contacting_logits"]) +
-                 jnp.sum(out["distribution"]))
-            return c + s * 1e-30
-        return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+    def make_chained(n):
+        @jax.jit
+        def chained(v, b):
+            def body(i, c):
+                bb = b.replace(features=b.features + c * 1e-30)
+                out = fwd(v, bb)
+                # every head feeds the scalar, or XLA DCEs the classifier
+                s = (jnp.sum(out["attention_distribution"]) +
+                     jnp.sum(out["spatial_logits"]) +
+                     jnp.sum(out["contacting_logits"]) +
+                     jnp.sum(out["distribution"]))
+                return c + s * 1e-30
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+        return chained
 
     flops = float(jax.jit(fwd).lower(variables, batch).compile()
                   .cost_analysis()["flops"])
-    dt = timed(lambda v, b: float(chained(v, b)), variables, batch) / iters
+    dt = timed_delta(make_chained, variables, batch, iters=iters)
     tf = check_physical(flops, dt, "dsg_detr")
     print(f"dsg_detr    b{B}x{F}f bf16: {dt * 1e3:8.2f} ms/call "
           f"({B * F / dt:,.0f} frames/s, {tf:.0f} TFLOP/s, "
@@ -250,16 +276,20 @@ def bench_detector(iters: int, dtype: str | None = None):
     im_hw = jnp.asarray([600.0, 1013.0], jnp.float32)
     inner = det._detect_batch
 
-    @jax.jit
-    def chained(v, imgs):
-        def body(i, c):
-            out = inner(v, imgs + c * 1e-30, anchors, im_hw)
-            return c + jnp.sum(out) * 1e-30
-        return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+    def make_chained(n):
+        @jax.jit
+        def chained(v, imgs):
+            def body(i, c):
+                out = inner(v, imgs + c * 1e-30, anchors, im_hw)
+                return c + jnp.sum(out) * 1e-30
+            return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+        return chained
 
     flops = float(jax.jit(lambda v, i: inner(v, i, anchors, im_hw))
                   .lower(det.variables, imgs).compile().cost_analysis()["flops"])
-    dt = timed(lambda v, i: float(chained(v, i)), det.variables, imgs) / iters
+    # ~390 ms/call: small iteration counts amortize fine and keep runtime sane
+    dt = timed_delta(make_chained, det.variables, imgs,
+                     iters=max(2, min(iters, 3)))
     tf = check_physical(flops, dt, "detector")
     print(f"detector    {F}f x {H}x{W}      : {dt * 1e3:8.2f} ms/video "
           f"({F / dt:,.0f} frames/s, {tf:.0f} TFLOP/s, "
