@@ -1,23 +1,28 @@
-"""Pallas TPU kernel for the ResNeXt grouped 3x3 convolution (stride 1).
+"""Pallas grouped 3x3 convolution (stride 1) — KEPT AS A NEGATIVE RESULT.
 
-Why: XLA's conv lowering collapses at the detector's late-stage geometries —
-measured on TPU v5 lite (tools/probe_pallas_conv.py, probe_conv2.py): the
-stage4 conv2 runs at 28.6 TFLOP/s stored whether expressed as
-feature_group_count=8, as eight sliced DENSE convs, or via
-batch_group_count, while the SAME dense conv at stage2's large spatial size
-reaches 115 TFLOP/s. The collapse is conv-lowering overhead at small
-spatial sizes, not grouped-conv math.
+Status: NOT wired into the detector, and should not be. It was built
+against probe numbers later found to carry the tunneled platform's fixed
+~25-45 ms per-timed-call cost (see bench_suite.timed_delta): under
+corrected two-point-differenced timing, XLA's grouped conv at the
+EFF_GROUPS packings already runs at 115-196 TFLOP/s stored (58-99% of the
+bf16 peak; tools/probe_group_pack.py, TPU v5 lite r3) — e.g. the stage4
+conv2 is 0.39 ms, not the 1.56 ms the contaminated probe reported. This
+kernel measured ~26 TFLOP/s stored-equivalent on the same geometry
+(tools/probe_pallas_ablate.py: time is flat across 1-vs-9 matmuls and
+adds-only variants, i.e. bound by per-step VMEM block traffic, far from its
+own c/128 structural ceiling). The file stays as the measured record with
+passing parity tests so the approach is not re-attempted without new
+evidence; the probes under tools/ document the full investigation.
 
-This kernel avoids the conv lowering entirely. A stride-1 3x3 conv is nine
-shifted matmuls; with groups packed block-diagonally into 128-lane
-super-groups (exact — the extra multiplies hit stored zeros, and adding 0.0
-is IEEE-exact), each tap is one (M, 128) x (128, 128) MXU matmul whose LHS
-is the CONTIGUOUS input block (zero-copy reshape, no im2col, no per-tap
-slice materialization — the v1 kernel that sliced inputs per tap measured
-0.95x vs production). Tap outputs accumulate into an fp32 VMEM scratch with
-partial-rectangle adds implementing the zero padding. Tall feature maps are
-split into row chunks with a 1-row halo at the wrapper (the pallas grid
-cannot express overlapping blocks); every chunk reuses one compiled kernel.
+Design (for the record): a stride-1 3x3 conv is nine shifted matmuls; with
+groups packed block-diagonally into 128-lane super-groups (exact — the
+extra multiplies hit stored zeros, and adding 0.0 is IEEE-exact), each tap
+is one (M, 128) x (128, 128) MXU matmul whose LHS is the CONTIGUOUS input
+block (zero-copy reshape, no im2col). Tap outputs accumulate into an fp32
+VMEM scratch with partial-rectangle adds implementing the zero padding.
+Tall feature maps are split into row chunks with a 1-row halo at the
+wrapper (the pallas grid cannot express overlapping blocks); every chunk
+reuses one compiled kernel.
 
 Semantics match `lax.conv_general_dilated(x, w, (1, 1), ((1, 1), (1, 1)),
 dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=groups)`
@@ -30,9 +35,9 @@ Parity pinned by tests/test_pallas_grouped_conv.py.
 
 Utilization ceiling per 128-lane super-group with c channels/group: the
 diagonal density is c/128, so useful throughput tops out at (c/128) x the
-dense matmul rate — structural for any systolic mapping of a grouped conv,
-not a kernel defect. The kernel buys the gap between XLA's measured conv
-rate at these shapes and the MXU matmul rate.
+dense matmul rate — structural for ANY systolic mapping of a grouped conv
+(including XLA's packed form), which is why the corrected EFF_GROUPS rates
+are already at the speed of light for this op.
 """
 
 from __future__ import annotations

@@ -70,17 +70,21 @@ def timed_delta(make_chained, *args, iters: int, k: int = 3):
     return max(dk - d1, 1e-9) / ((k - 1) * iters)
 
 
-def bench_train_step(iters: int, B: int = 16, dtype=None):
+def bench_train_step(iters: int, B: int = 16, dtype=None,
+                     family: str = "sttran"):
     """fwd+bwd+AdamW at the bench shapes; steps chain through the state.
 
     The b64/bf16 variant is the production recommendation: the optimizer's
     ~5 ms of HBM passes amortize over 4x the videos (measured 64->79 TFLOP/s
-    going b16->b64 at bf16, tools/probe_train_mfu.py)."""
+    going b16->b64 at bf16, tools/probe_train_mfu.py). `family` picks the
+    model: "sttran" or "dsg" (DSG-DETR trains through the same
+    make_train_step/run_training loop, tools/train_DSG_DETR.py)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
+    from nl_vsgg_tpu.models.dsg_detr import DSGDETR
     from nl_vsgg_tpu.models.sttran import STTran
     from nl_vsgg_tpu.train import (create_train_state, make_optimizer,
                                    make_train_step, stack_entries)
@@ -90,7 +94,8 @@ def bench_train_step(iters: int, B: int = 16, dtype=None):
     entries = [make_synthetic_entry(rng, n_frames=F, objs_per_frame=3,
                                     bucket_boxes=128, bucket_rels=96,
                                     feat_dim=FEAT) for _ in range(B)]
-    model = STTran(mode="sgdet", feat_dim=FEAT, dtype=dtype)
+    cls = {"sttran": STTran, "dsg": DSGDETR}[family]
+    model = cls(mode="sgdet", feat_dim=FEAT, dtype=dtype)
     tx = make_optimizer(lr=1e-5)
     state, tx = create_train_state(model, entries[0], jax.random.key(0), tx=tx)
     batch = jax.tree.map(jnp.asarray, stack_entries(entries))
@@ -118,10 +123,12 @@ def bench_train_step(iters: int, B: int = 16, dtype=None):
     flops = float(jax.jit(lambda s, b: step(s, b, key1))
                   .lower(state, batch).compile().cost_analysis()["flops"])
     per = timed_delta(make_chained, state, batch, iters=iters)
-    tf = check_physical(flops, per, "train_step")
+    tf = check_physical(flops, per, f"{family}_train_step")
     tag = "bf16" if dtype is not None else "fp32"
-    print(f"train_step  b{B}x{F}f {tag}: {per * 1e3:8.2f} ms/step "
-          f"({B * F / per:,.0f} frames/s, {tf:.0f} TFLOP/s)")
+    name = "train_step " if family == "sttran" else "dsg_train  "
+    print(f"{name} b{B}x{F}f {tag}: {per * 1e3:8.2f} ms/step "
+          f"({B * F / per:,.0f} frames/s, {tf:.0f} TFLOP/s, "
+          f"{flops / 1e12:.2f} TFLOP/call)")
 
 
 def bench_roi_align(iters: int):
@@ -371,7 +378,8 @@ def main():
                    help="also bench the VinVL-JAX detector (long compile)")
     p.add_argument("--only", default=None,
                    help="run a single row: roi_align | recall | train_step | "
-                        "train_step_bf16 | dsg_detr | detector | grounding")
+                        "train_step_bf16 | dsg_train_bf16 | dsg_detr | "
+                        "detector | grounding")
     args = p.parse_args()
     import jax
     print(f"# device: {jax.devices()[0].device_kind}")
@@ -382,6 +390,9 @@ def main():
         "train_step": lambda: bench_train_step(args.iters),
         "train_step_bf16": lambda: bench_train_step(args.iters, B=64,
                                                     dtype=jnp.bfloat16),
+        "dsg_train_bf16": lambda: bench_train_step(args.iters, B=64,
+                                                   dtype=jnp.bfloat16,
+                                                   family="dsg"),
         "dsg_detr": lambda: bench_dsg_detr(args.iters),
         "grounding": lambda: bench_grounding(max(args.iters, 20)),
         "detector": lambda: bench_detector(args.iters),

@@ -30,7 +30,7 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from tools.bench_suite import check_physical, timed
+    from tools.bench_suite import check_physical, timed_delta
 
     print(f"# device: {jax.devices()[0].device_kind}", flush=True)
     F = args.frames
@@ -57,17 +57,19 @@ def main():
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     feature_group_count=gp)
 
-            @jax.jit
-            def chained(x, w):
-                def body(i, c):
-                    out = conv(x + (c * 1e-30).astype(x.dtype), w)
-                    return c + jnp.sum(out.astype(jnp.float32)) * 1e-30
-                return lax.fori_loop(0, args.iters, body,
-                                     jnp.zeros((), jnp.float32))
+            def make_chained(n):
+                @jax.jit
+                def chained(x, w):
+                    def body(i, c):
+                        out = conv(x + (c * 1e-30).astype(x.dtype), w)
+                        return c + jnp.sum(out.astype(jnp.float32)) * 1e-30
+                    return lax.fori_loop(0, n, body,
+                                         jnp.zeros((), jnp.float32))
+                return chained
 
             flops = float(jax.jit(conv).lower(x, w).compile()
                           .cost_analysis()["flops"])
-            dt = timed(lambda a, b: float(chained(a, b)), x, w) / args.iters
+            dt = timed_delta(make_chained, x, w, iters=args.iters)
             check_physical(flops, dt, f"{name}/g{gp}")
             if base is None:
                 base = dt

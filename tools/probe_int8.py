@@ -41,27 +41,38 @@ def run(M, K, N, iters, mode):
 
     dn = (((1,), (0,)), ((), ()))
 
-    @jax.jit
-    def chained(a, b):
-        def body(i, c):
-            # perturb one input element by the carry so iteration i+1
-            # depends on iteration i's full output (no overlap, no DCE)
-            if mode == "int8":
-                a2 = a.at[0, 0].add((c % 2).astype(jnp.int8))
-            else:
-                a2 = a.at[0, 0].add((c % 2.0).astype(a.dtype))
-            y = lax.dot_general(a2, b, dn, preferred_element_type=acc)
-            return y.sum().astype(jnp.int32 if mode == "int8" else jnp.float32)
-        c0 = jnp.zeros((), jnp.int32 if mode == "int8" else jnp.float32)
-        return lax.fori_loop(0, iters, body, c0)
+    def make_chained(n):
+        @jax.jit
+        def chained(a, b):
+            def body(i, c):
+                # perturb one input element by the carry so iteration i+1
+                # depends on iteration i's full output (no overlap, no DCE)
+                if mode == "int8":
+                    a2 = a.at[0, 0].add((c % 2).astype(jnp.int8))
+                else:
+                    a2 = a.at[0, 0].add((c % 2.0).astype(a.dtype))
+                y = lax.dot_general(a2, b, dn, preferred_element_type=acc)
+                return y.sum().astype(jnp.int32 if mode == "int8"
+                                      else jnp.float32)
+            c0 = jnp.zeros((), jnp.int32 if mode == "int8" else jnp.float32)
+            return lax.fori_loop(0, n, body, c0)
+        return chained
 
-    chained(a, b).item()  # compile + warm
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        chained(a, b).item()
-        ts.append(time.perf_counter() - t0)
-    dt = float(np.median(ts)) / iters
+    def measure(fn):
+        fn(a, b).item()  # compile + warm
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn(a, b).item()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    # two-point differencing (bench_suite.timed_delta rationale): the fixed
+    # ~25-45 ms tunnel cost per fetch swamped these ~0.5 ms dots at the
+    # round-2 iteration count, compressing the int8/bf16 ratio toward 1.0 —
+    # the "1.03-1.08x, dead end" conclusion was this probe's artifact
+    dt = (measure(make_chained(3 * iters)) - measure(make_chained(iters))) \
+        / (2 * iters)
     tops = 2 * M * K * N / dt / 1e12
     # chip-peak tripwire (CLAUDE.md): block_until_ready does not wait on the
     # axon platform, so a silent sync failure prints impossible throughput —

@@ -35,7 +35,7 @@ def main():
     from nl_vsgg_tpu.train import (create_train_state, make_optimizer,
                                    make_train_step, stack_entries)
     from nl_vsgg_tpu.models.losses import sttran_losses
-    from tools.bench_suite import check_physical, timed
+    from tools.bench_suite import check_physical, timed_delta
 
     print(f"# device: {jax.devices()[0].device_kind}", flush=True)
     FEAT, F = 2048, 32
@@ -67,17 +67,20 @@ def main():
         if kind == "full":
             step = make_train_step(model, tx, bce=True)
 
-            @jax.jit
-            def chained(state, batch):
-                def body(i, st):
-                    st, _ = step(st, batch, jax.random.fold_in(key1, i))
-                    return st
-                st = lax.fori_loop(0, args.iters, body, state)
-                return sum(jnp.sum(x) for x in jax.tree.leaves(st.params)[:4])
+            def make_chained(n):
+                @jax.jit
+                def chained(state, batch):
+                    def body(i, st):
+                        st, _ = step(st, batch, jax.random.fold_in(key1, i))
+                        return st
+                    st = lax.fori_loop(0, n, body, state)
+                    return sum(jnp.sum(x)
+                               for x in jax.tree.leaves(st.params)[:4])
+                return chained
 
             flops = float(jax.jit(lambda s, b: step(s, b, key1))
                           .lower(state, batch).compile().cost_analysis()["flops"])
-            dt = timed(lambda s, b: float(chained(s, b)), state, batch)
+            per = timed_delta(make_chained, state, batch, iters=args.iters)
         elif kind == "grad":  # value_and_grad only, no optimizer
             def loss_fn(params, batch, key):
                 def per_video(entry, k):
@@ -91,17 +94,20 @@ def main():
 
             gfn = jax.grad(loss_fn)
 
-            @jax.jit
-            def chained(params, batch):
-                def body(i, ps):
-                    g = gfn(ps, batch, jax.random.fold_in(key1, i))
-                    return jax.tree.map(lambda p, gg: p - 1e-9 * gg, ps, g)
-                ps = lax.fori_loop(0, args.iters, body, params)
-                return sum(jnp.sum(x) for x in jax.tree.leaves(ps)[:4])
+            def make_chained(n):
+                @jax.jit
+                def chained(params, batch):
+                    def body(i, ps):
+                        g = gfn(ps, batch, jax.random.fold_in(key1, i))
+                        return jax.tree.map(lambda p, gg: p - 1e-9 * gg, ps, g)
+                    ps = lax.fori_loop(0, n, body, params)
+                    return sum(jnp.sum(x) for x in jax.tree.leaves(ps)[:4])
+                return chained
 
             flops = float(jax.jit(gfn).lower(state.params, batch, key1)
                           .compile().cost_analysis()["flops"])
-            dt = timed(lambda s, b: float(chained(s, b)), state.params, batch)
+            per = timed_delta(make_chained, state.params, batch,
+                              iters=args.iters)
         elif kind == "fwd":  # forward only, train=True
             def fwd(params, batch, key):
                 def per_video(entry, k):
@@ -113,18 +119,23 @@ def main():
                 keys = jax.random.split(key, B)
                 return jax.vmap(per_video)(batch, keys).mean()
 
-            @jax.jit
-            def chained(params, batch):
-                def body(i, c):
-                    b2 = batch.replace(features=batch.features + c * 1e-30)
-                    return c + fwd(params, b2, jax.random.fold_in(key1, i)) * 1e-30
-                return lax.fori_loop(0, args.iters, body, jnp.zeros((), jnp.float32))
+            def make_chained(n):
+                @jax.jit
+                def chained(params, batch):
+                    def body(i, c):
+                        b2 = batch.replace(
+                            features=batch.features + c * 1e-30)
+                        return c + fwd(params, b2,
+                                       jax.random.fold_in(key1, i)) * 1e-30
+                    return lax.fori_loop(0, n, body,
+                                         jnp.zeros((), jnp.float32))
+                return chained
 
             flops = float(jax.jit(fwd).lower(state.params, batch, key1)
                           .compile().cost_analysis()["flops"])
-            dt = timed(lambda s, b: float(chained(s, b)), state.params, batch)
+            per = timed_delta(make_chained, state.params, batch,
+                              iters=args.iters)
 
-        per = dt / args.iters
         tf = check_physical(flops, per, name)
         print(f"{name:34s} b{B:<3d}: {per * 1e3:8.2f} ms/step "
               f"({B * F / per:9,.0f} frames/s, {tf:5.1f} TFLOP/s, "
