@@ -150,6 +150,14 @@ class STTranTransformer(nn.Module):
     enc_layers: int = 1
     dec_layers: int = 3
     mode: str = "latter"  # 'latter' | 'both'
+    variant: str = "wk"  # 'wk' (lib/transformer_wk.py, shipped) | 'org'
+    # (lib/transformer.py::transformer). On every input org can process
+    # (each frame 0..b-1 populated) the two are the same function; they
+    # differ ONLY on window-less videos (all relations in frame 0), where
+    # org leaves its zeros-initialized output untouched
+    # (lib/transformer.py:165,185-189) while wk passes the spatial encoder
+    # output through. Empty mid-video frames are outside org's domain (its
+    # fully-masked attention rows are NaN in the reference).
     dtype: Any = None  # compute dtype (bfloat16 on TPU); params stay fp32
     remat: bool = False  # rematerialize encoder/decoder layers in the bwd
     # pass (jax.checkpoint): ~layer-depth x less activation memory for the
@@ -251,8 +259,12 @@ class STTranTransformer(nn.Module):
             out = dec[-1](q_tokens, pe[q_slot], allow_q, det,
                           kv=tokens, pos_kv=pos)
         # no windows exist (all relations in frame 0, incl. single-frame
-        # videos) -> spatial output passes through (lib/transformer_wk.py:187)
-        out = jnp.where(f_last > 0, out, local)
+        # videos) -> wk passes the spatial output through
+        # (lib/transformer_wk.py:187); org returns zeros (its output buffer
+        # is zeros-initialized and the window loops never run,
+        # lib/transformer.py:165,185-189)
+        fallback = local if self.variant == "wk" else jnp.zeros_like(local)
+        out = jnp.where(f_last > 0, out, fallback)
         return jnp.where(rel_mask[..., None], out, 0.0)
 
 
@@ -273,6 +285,7 @@ class STTran(nn.Module):
     dec_layer_num: int = 3
     feat_dim: int = 2048
     transformer_fusion: str = "latter"
+    transformer_variant: str = "wk"  # 'wk' | 'org' (see STTranTransformer)
     dtype: Any = None  # compute dtype; None = float32
     remat: bool = False  # checkpoint the temporal stack (see STTranTransformer)
     fused: bool = False  # Pallas fused masked attention (ops/pallas_attention)
@@ -326,6 +339,7 @@ class STTran(nn.Module):
         global_output = STTranTransformer(
             embed_dim=rel_features.shape[-1], enc_layers=self.enc_layer_num,
             dec_layers=self.dec_layer_num, mode=self.transformer_fusion,
+            variant=self.transformer_variant,
             dtype=self.dtype, remat=self.remat, fused=self.fused,
             name="glocal_transformer",
         )(rel_features, entry.im_idx, entry.rel_mask, entry.num_frames, train)

@@ -71,19 +71,26 @@ def compute_dtype(cfg):
 def build_model(cfg, tax):
     # the masked STTranTransformer implements the shipped 'wk' variant
     # (lib/transformer_wk.py, selected at lib/sttran.py:358) exactly — golden
-    # incl. empty-frame dropping; the 'default' lib/transformer.py variant
-    # differs only in empty-frame handling and is not provided (PARITY §2.6).
-    # Refuse rather than silently ignore the key.
-    if cfg.transformer_mode != "wk":
+    # incl. empty-frame dropping. 'org' (lib/transformer.py::transformer) is
+    # wk MINUS the empty-frame row removal: on every input the org class can
+    # process (each frame 0..b-1 has >=1 relation — empty frames make its
+    # fully-masked attention rows NaN), the two are the SAME function
+    # (tests/test_sttran_transformer_parity.py::test_org_transformer_parity),
+    # so 'org' maps to the same module. 'new'/'seq2seq' name classes that do
+    # not exist in the reference tree (commented out at lib/sttran.py:362-368)
+    # — refuse rather than silently ignore the key.
+    if cfg.transformer_mode not in ("wk", "org"):
         raise ValueError(
-            f"transformer_mode={cfg.transformer_mode!r} is not supported: the "
-            "TPU module implements the shipped 'wk' semantics (the reference's "
-            "other variants differ only in empty-frame handling; see PARITY.md)")
+            f"transformer_mode={cfg.transformer_mode!r} is not supported: "
+            "'wk' and 'org' share one implementation (org == wk on every "
+            "input org can process; see PARITY.md §2.6), and the reference's "
+            "'new'/'seq2seq' classes do not exist in its tree")
     g36 = obj_edge_vectors(list(tax.object_classes[1:]), 200, cfg.glove_path)
     g37 = obj_edge_vectors(list(tax.object_classes), 200, cfg.glove_path)
     return STTran(mode=cfg.mode, obj_classes=tuple(tax.object_classes),
                   enc_layer_num=cfg.enc_layer, dec_layer_num=cfg.dec_layer,
                   feat_dim=cfg.feat_dim, glove_obj36=g36, glove_obj37=g37,
+                  transformer_variant=cfg.transformer_mode,
                   dtype=compute_dtype(cfg), remat=cfg.remat,
                   fused=cfg.fused_attention)
 
