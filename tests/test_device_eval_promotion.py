@@ -79,6 +79,10 @@ def test_value_mismatch_falls_back_for_the_epoch(train_mod, rng):
     promo.add(row, ev, host_marks=marks)
     assert promo.checked == 2
     assert not promo.promoted and promo.host_needed()
+    # the eval loop gates on promotion.ok: after demotion it stops calling
+    # add() entirely (plain host eval), so `checked` freezes at the
+    # mismatch — the epoch-end warning reports the true burn-in count
+    assert not promo.ok
     # further agreement does NOT resurrect promotion within the epoch
     gt, pred = _random_video(rng, n_frames=3, n_objs=2)
     marks, row = _host_score_row(ev, gt, pred)
@@ -94,6 +98,29 @@ def test_gt_dropped_blocks_promotion(train_mod, rng):
     row["gt_dropped"] = 2  # device buckets truncated GT -> scores not exact
     promo.add(row, ev, host_marks=marks)
     assert not promo.promoted
+
+
+def test_gt_dropped_after_promotion_uses_host_rows(train_mod, rng):
+    """Post-promotion videos whose GT exceeds the device frame bucket must
+    contribute HOST rows to the metric (the eval loop diverts them via
+    add_host_rows), never truncated device scores — and must not demote."""
+    ev = SceneGraphEvaluator(mode="sgdet")
+    promo = train_mod.DeviceEvalPromotion(burnin=1)
+    gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+    marks, row = _host_score_row(ev, gt, pred)
+    promo.add(row, ev, host_marks=marks)
+    assert promo.promoted
+    # a long video: host-score and record host rows (loop's fallback branch)
+    gt2, pred2 = _random_video(rng, n_frames=5, n_objs=2)
+    marks2, _ = _host_score_row(ev, gt2, pred2)  # scores into ev
+    # replicate the loop: marks captured BEFORE the host scored; rebuild
+    ev2 = SceneGraphEvaluator(mode="sgdet")
+    m0 = {"recall": 0, "recall_nogc": 0, "semi": 0}
+    ev2.evaluate_scene_graph(gt2, pred2)
+    promo.add_host_rows(ev2, m0)
+    assert promo.promoted  # fallback never demotes
+    expect = float(np.mean(ev.recall[20]))  # ev holds both videos host-scored
+    assert promo.score(20) == pytest.approx(expect, abs=1e-7)
 
 
 def test_frame_count_mismatch_blocks_promotion(train_mod, rng):

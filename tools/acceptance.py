@@ -149,6 +149,15 @@ def main(argv=None):
                         "(converted in-place) or an existing Orbax dir")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--oracle_videos", type=int, default=50)
+    p.add_argument("--oracle_min", type=float, default=0.3,
+                   help="minimum grounding-ceiling R@20: a mostly-broken "
+                        "grounding engine yields a tiny nonzero ceiling, "
+                        "which must fail HERE, not at the parity gate")
+    p.add_argument("--family", choices=["auto", "sttran", "dsg_detr"],
+                   default="auto",
+                   help="relation-model family; 'auto' detects from a .tar "
+                        "checkpoint or from the family.json sidecar written "
+                        "next to a converted Orbax dir")
     p.add_argument("--max_videos", type=int, default=0,
                    help="cap eval videos (0 = full split)")
     p.add_argument("--expected_json", default=None,
@@ -192,12 +201,12 @@ def main(argv=None):
         r20, r50 = ev.mean_score(20), ev.mean_score(50)
         # the ceiling must clear the gate with margin — a broken grounding
         # engine caps every model below the baseline before eval even runs
-        _stage(results, "oracle_grounding", r20 > 0.0,
-               f"{n} videos  ceiling R@20 {r20:.4f}  R@50 {r50:.4f}")
+        _stage(results, "oracle_grounding", r20 >= args.oracle_min,
+               f"{n} videos  ceiling R@20 {r20:.4f}  R@50 {r50:.4f}  "
+               f"(gate >= {args.oracle_min})")
 
     # ---- stage 1b: relation checkpoint convert; stage 4: full eval ----
     if args.relation_ckpt:
-        family = "sttran"
         model_path = args.relation_ckpt
         if os.path.isfile(args.relation_ckpt):  # torch .tar -> Orbax
             import torch
@@ -206,13 +215,27 @@ def main(argv=None):
             raw = torch.load(args.relation_ckpt, map_location="cpu",
                              weights_only=False)
             sd = raw.get("state_dict", raw)
-            family = detect_family(sd)
+            family = detect_family(sd) if args.family == "auto" else args.family
             conv = _load_tool("convert_relation_ckpt")
             model_path = os.path.join(args.out_dir, "relation_orbax")
             conv.main(["--ckpt", args.relation_ckpt, "--out", model_path,
                        "--cfg", args.cfg_file, "--family", family])
+            # sidecar so reruns against the converted dir keep the family
+            with open(os.path.join(model_path, "family.json"), "w") as f:
+                json.dump({"family": family}, f)
             _stage(results, "convert_relation", True,
                    f"family={family} -> {model_path}")
+        elif args.family != "auto":
+            family = args.family
+        else:  # existing Orbax dir: read the conversion sidecar
+            sidecar = os.path.join(args.relation_ckpt, "family.json")
+            if os.path.isfile(sidecar):
+                family = json.load(open(sidecar))["family"]
+            else:
+                family = "sttran"
+                print("[acceptance] WARNING: no family.json next to "
+                      f"{args.relation_ckpt}; assuming family=sttran — pass "
+                      "--family dsg_detr for a DSG-DETR checkpoint")
 
         test_mod = _load_tool("test_STTran")
         build_fn = test_mod.build_model

@@ -37,7 +37,7 @@ def main():
     from jax import lax
 
     from nl_vsgg_tpu.detector.resnet import EFF_GROUPS, pack_grouped_kernel
-    from tools.bench_suite import check_physical, timed
+    from tools.bench_suite import check_physical, timed_delta
 
     dt_ = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     print(f"# device: {jax.devices()[0].device_kind} dtype={args.dtype}",
@@ -53,14 +53,16 @@ def main():
     G = 32
 
     def run(fn, x, w, label, useful):
-        @jax.jit
-        def chained(x, w):
-            def body(i, c):
-                out = fn(x + (c * 1e-30).astype(x.dtype), w)
-                return c + jnp.sum(out.astype(jnp.float32)) * 1e-30
-            return lax.fori_loop(0, args.iters, body, jnp.zeros((), jnp.float32))
+        def make_chained(n):
+            @jax.jit
+            def chained(x, w):
+                def body(i, c):
+                    out = fn(x + (c * 1e-30).astype(x.dtype), w)
+                    return c + jnp.sum(out.astype(jnp.float32)) * 1e-30
+                return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+            return chained
 
-        dt = timed(lambda a, b: float(chained(a, b)), x, w) / args.iters
+        dt = timed_delta(make_chained, x, w, iters=args.iters)
         try:
             flops = float(jax.jit(fn).lower(x, w).compile()
                           .cost_analysis()["flops"])

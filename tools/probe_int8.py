@@ -71,8 +71,11 @@ def run(M, K, N, iters, mode):
     # ~25-45 ms tunnel cost per fetch swamped these ~0.5 ms dots at the
     # round-2 iteration count, compressing the int8/bf16 ratio toward 1.0 —
     # the "1.03-1.08x, dead end" conclusion was this probe's artifact
-    dt = (measure(make_chained(3 * iters)) - measure(make_chained(iters))) \
-        / (2 * iters)
+    # clamp like bench_suite.timed_delta: run-to-run variance on the shared
+    # chip can make the raw difference negative, and a negative dt would
+    # print negative throughput that trivially passes the <= peak tripwire
+    dt = max(measure(make_chained(3 * iters)) - measure(make_chained(iters)),
+             1e-9) / (2 * iters)
     tops = 2 * M * K * N / dt / 1e12
     # chip-peak tripwire (CLAUDE.md): block_until_ready does not wait on the
     # axon platform, so a silent sync failure prints impossible throughput —

@@ -240,15 +240,19 @@ def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
 class DeviceEvalPromotion:
     """Burn-in equivalence check that promotes the on-device R@K scorer.
 
-    For the first `burnin` videos of an epoch eval both evaluators run and
-    their with/no-constraint/semi R@K rows are compared exactly (atol 1e-6
-    covers fp32-vs-float64 division only; hit counts must agree). On full
-    agreement the host evaluator is skipped for the remaining videos
-    (~22 ms/video of host numpy at real AG scale vs ~4 ms device) and
-    `score(20)` — the plateau metric — comes from the device rows. ANY
-    mismatch, including GT dropped past the device buckets, disables
-    promotion for the whole epoch (the host evaluator covers every video
-    as before). Final reported numbers should always come from the host
+    For the first `burnin` comparable videos of an epoch eval both
+    evaluators run and their with/no-constraint/semi R@K rows are compared
+    exactly (atol 1e-6 covers fp32-vs-float64 division only; hit counts
+    must agree). On full agreement the host evaluator is skipped for the
+    remaining videos and `score(20)` — the plateau metric — comes from the
+    device rows. ANY value mismatch demotes for the whole epoch: the eval
+    loop then reverts to plain host scoring (no further device calls or
+    comparisons), so a demoted epoch costs no more than
+    device_eval_promote=false. Videos whose GT exceeds the device frame
+    bucket (gt_dropped > 0) are never compared NOR device-scored into the
+    metric — the loop host-scores them and records the host rows — so
+    bucket truncation can neither demote the epoch nor bias the promoted
+    mean. Final reported numbers should always come from the host
     evaluator (tools/test_*); this only accelerates the per-epoch metric.
     """
 
@@ -272,6 +276,21 @@ class DeviceEvalPromotion:
         self.rows.append({"recall": z, "recall_nogc": z, "semi": z,
                           "gt_dropped": 0})
 
+    @staticmethod
+    def _host_rows(evaluator, host_marks) -> dict:
+        row = {"gt_dropped": 0}
+        for name, sink in (("recall", evaluator.recall),
+                           ("recall_nogc", evaluator.recall_nogc),
+                           ("semi", evaluator.semi_recall)):
+            row[name] = np.stack(
+                [np.asarray(sink[k][host_marks[name]:], np.float64)
+                 for k in (10, 20, 50)], axis=-1)
+        return row
+
+    def add_host_rows(self, evaluator, host_marks) -> None:
+        """Record a host-scored video (bucket-truncation fallback)."""
+        self.rows.append(self._host_rows(evaluator, host_marks))
+
     def add(self, dev_row: dict, evaluator, host_marks=None) -> None:
         """dev_row: device_eval_video output. host_marks: per-sink list
         lengths captured BEFORE the host scored this video (burn-in only)."""
@@ -279,14 +298,12 @@ class DeviceEvalPromotion:
         if host_marks is None:
             return
         self.checked += 1
-        ok = dev_row.get("gt_dropped", 0) == 0
-        for name, sink in (("recall", evaluator.recall),
-                           ("recall_nogc", evaluator.recall_nogc),
-                           ("semi", evaluator.semi_recall)):
-            host = np.stack([np.asarray(sink[k][host_marks[name]:], np.float64)
-                             for k in (10, 20, 50)], axis=-1)
+        ok = dev_row.get("gt_dropped", 0) == 0  # safety; loop diverts these
+        host = self._host_rows(evaluator, host_marks)
+        for name in ("recall", "recall_nogc", "semi"):
             dev = np.asarray(dev_row[name], np.float64)
-            ok &= host.shape == dev.shape and np.allclose(host, dev, atol=1e-6)
+            ok &= host[name].shape == dev.shape and \
+                np.allclose(host[name], dev, atol=1e-6)
         self.ok &= ok
 
     def score(self, k: int = 20) -> float:
@@ -320,24 +337,37 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
         num_workers=cfg.num_workers)
     from nl_vsgg_tpu.data import bucket_events
 
+    def _marks():
+        return {"recall": len(evaluator.recall[10]),
+                "recall_nogc": len(evaluator.recall_nogc[10]),
+                "semi": len(evaluator.semi_recall[10])}
+
     def score(items, handles):
         pred = jax.device_get(handles)
         for bi, (i, e) in enumerate(items):
             p = entry_to_eval_pred(e, {k: v[bi] for k, v in pred.items()})
+            # a demoted promotion reverts to plain host scoring: no further
+            # device calls or comparisons for the rest of the epoch
+            active = promotion is not None and promotion.ok
             dev_row = None
-            if device_recalls is not None or promotion is not None:
+            if device_recalls is not None or active:
                 from nl_vsgg_tpu.eval.recall_jax import device_eval_video
                 dev_row = device_eval_video(
                     e, p, ds_test.gt_annotations[i], evaluator, f_bucket=32)
             if device_recalls is not None:
                 device_recalls.append(dev_row)
-            if promotion is None:
+            if not active:
                 evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
                 continue
-            if promotion.host_needed():
-                marks = {"recall": len(evaluator.recall[10]),
-                         "recall_nogc": len(evaluator.recall_nogc[10]),
-                         "semi": len(evaluator.semi_recall[10])}
+            if dev_row.get("gt_dropped", 0):
+                # GT past the device frame bucket: device scores would drop
+                # it — host-score this video and record the host rows (does
+                # not count toward burn-in, cannot demote)
+                marks = _marks()
+                evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
+                promotion.add_host_rows(evaluator, marks)
+            elif promotion.host_needed():  # burn-in: compare both
+                marks = _marks()
                 evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
                 promotion.add(dev_row, evaluator, host_marks=marks)
             else:  # promoted: device rows only, host evaluator skipped
@@ -352,7 +382,7 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
             # empty-pred host scoring is one zeros-append per frame — run it
             # even under promotion (its rows are simply unused when promoted)
             evaluator.evaluate_scene_graph(ds_test.gt_annotations[payload], {})
-            if promotion is not None:
+            if promotion is not None and promotion.ok:
                 promotion.add_skip(ds_test.gt_annotations[payload])
             continue
         items = payload
@@ -674,10 +704,13 @@ def run_training(cfg, args, build_model_fn):
                 f"the burn-in — run tools/test_*.py for reported numbers")
         else:
             if promotion is not None:
+                why = ("host/device mismatch during burn-in — demoted"
+                       if not promotion.ok else
+                       f"only {promotion.checked}/{promotion.burnin} "
+                       f"comparable burn-in videos in the split")
                 logger.warning(
-                    f"device evaluator NOT promoted (mismatch within "
-                    f"{promotion.checked} burn-in videos); host eval covered "
-                    f"the full split as usual")
+                    f"device evaluator NOT promoted ({why}); host eval "
+                    f"covered the full split as usual")
             score = evaluator.mean_score(20)
         evaluator.calculate_mean_recall()
         logger.info(f"------------Inference in Epoch ({epoch})------------")
