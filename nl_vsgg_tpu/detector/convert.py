@@ -101,6 +101,18 @@ def convert_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
                        "box_head": box_head}}
 
 
+def save_npz(variables: dict, dst: str) -> int:
+    """Flatten the nested variables dict to '/'-joined keys and write a
+    compressed .npz (the inverse of load_npz). Returns the array count.
+    The single definition of the flat key scheme — tools/convert_vinvl.py
+    and tools/acceptance.py both write through here."""
+    import jax
+    flat = {"/".join(str(getattr(k, "key", k)) for k in path): np.asarray(leaf)
+            for path, leaf in jax.tree_util.tree_leaves_with_path(variables)}
+    np.savez_compressed(dst, **flat)
+    return len(flat)
+
+
 def load_npz(path: str) -> dict:
     """Rebuild the nested variables dict from a converted .npz
     (tools/convert_vinvl.py writes '/'-joined flat keys)."""

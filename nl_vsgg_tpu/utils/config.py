@@ -122,8 +122,10 @@ class Config:
     # exact host/device R@K agreement within an epoch eval, stop running the
     # host evaluator for the remaining videos and drive the plateau metric
     # (mean R@20) from the on-device scorer (eval/recall_jax). Any burn-in
-    # mismatch (incl. bucket-dropped GT) falls back to the full host eval
-    # for that epoch. Final reported numbers should come from tools/test_*
+    # mismatch demotes back to the full host eval for that epoch; videos
+    # whose GT was bucket-truncated are always host-scored and neither
+    # count toward burn-in nor demote. Final reported numbers should come
+    # from tools/test_*
     # (host evaluator, the source of truth). Single-process runs only.
     device_eval_burnin: int = 16  # videos compared host-vs-device before
     # promotion takes effect (per epoch)

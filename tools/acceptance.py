@@ -63,16 +63,11 @@ def _stage(results, name, ok, detail=""):
 
 def convert_vinvl(vinvl_path, out_dir):
     """.pth -> .npz via the production converter (detector/convert.py)."""
-    import jax
+    from nl_vsgg_tpu.detector.convert import load_checkpoint, save_npz
 
-    from nl_vsgg_tpu.detector.convert import load_checkpoint
-
-    variables = load_checkpoint(vinvl_path)
-    flat = {"/".join(str(getattr(k, "key", k)) for k in path): np.asarray(leaf)
-            for path, leaf in jax.tree_util.tree_leaves_with_path(variables)}
     dst = os.path.join(out_dir, "vinvl_converted.npz")
-    np.savez_compressed(dst, **flat)
-    return dst, len(flat)
+    n_arrays = save_npz(load_checkpoint(vinvl_path), dst)
+    return dst, n_arrays
 
 
 def _load_tool(name):
@@ -209,13 +204,18 @@ def main(argv=None):
     if args.relation_ckpt:
         model_path = args.relation_ckpt
         if os.path.isfile(args.relation_ckpt):  # torch .tar -> Orbax
-            import torch
+            if args.family == "auto":
+                # deserialize the .tar only when the family must be sniffed —
+                # a real trained checkpoint is hundreds of MB
+                import torch
 
-            from nl_vsgg_tpu.models.convert_ref import detect_family
-            raw = torch.load(args.relation_ckpt, map_location="cpu",
-                             weights_only=False)
-            sd = raw.get("state_dict", raw)
-            family = detect_family(sd) if args.family == "auto" else args.family
+                from nl_vsgg_tpu.models.convert_ref import detect_family
+                raw = torch.load(args.relation_ckpt, map_location="cpu",
+                                 weights_only=False)
+                family = detect_family(raw.get("state_dict", raw))
+                del raw
+            else:
+                family = args.family
             conv = _load_tool("convert_relation_ckpt")
             model_path = os.path.join(args.out_dir, "relation_orbax")
             conv.main(["--ckpt", args.relation_ckpt, "--out", model_path,

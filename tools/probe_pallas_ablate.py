@@ -35,7 +35,7 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from tools.bench_suite import timed
+    from tools.bench_suite import timed_delta
 
     N, H, W, C = 8, 38, 64, 1024
     cb = 128
@@ -163,15 +163,19 @@ def main():
 
     def bench(label, fn):
         try:
-            @jax.jit
-            def chained(x, w, fn=fn):
-                def body(i, c):
-                    out = fn(x + (c * 1e-30).astype(x.dtype), w)
-                    return c + jnp.sum(out.astype(jnp.float32)) * 1e-30
-                return lax.fori_loop(0, args.iters, body,
-                                     jnp.zeros((), jnp.float32))
+            def make_chained(n, fn=fn):
+                @jax.jit
+                def chained(x, w):
+                    def body(i, c):
+                        out = fn(x + (c * 1e-30).astype(x.dtype), w)
+                        return c + jnp.sum(out.astype(jnp.float32)) * 1e-30
+                    return lax.fori_loop(0, n, body,
+                                         jnp.zeros((), jnp.float32))
+                return chained
 
-            dt = timed(lambda a, b: float(chained(a, b)), x, w) / args.iters
+            # two-point differencing cancels the tunnel's fixed ~25-45 ms
+            # per-host-call cost (CLAUDE.md timing discipline)
+            dt = timed_delta(make_chained, x, w, iters=args.iters)
             rate = useful_mxu / dt / 1e12
             print(f"  {label}: {dt*1e3:7.3f} ms  ({rate:6.1f} T/s "
                   f"stored-tap-rate)", flush=True)

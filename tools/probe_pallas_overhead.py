@@ -32,21 +32,25 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from tools.bench_suite import timed
+    from tools.bench_suite import timed_delta
 
     print(f"# device: {jax.devices()[0].device_kind} iters={args.iters}",
           flush=True)
 
     def bench(label, fn, x):
-        @jax.jit
-        def chained(x):
-            def body(i, c):
-                out = fn(x + (c * 1e-30).astype(x.dtype))
-                return c + jnp.sum(out.astype(jnp.float32)) * 1e-30
-            return lax.fori_loop(0, args.iters, body, jnp.zeros((), jnp.float32))
+        def make_chained(n):
+            @jax.jit
+            def chained(x):
+                def body(i, c):
+                    out = fn(x + (c * 1e-30).astype(x.dtype))
+                    return c + jnp.sum(out.astype(jnp.float32)) * 1e-30
+                return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+            return chained
 
         try:
-            dt = timed(lambda a: float(chained(a)), x) / args.iters
+            # differencing cancels the tunnel's fixed per-host-call cost,
+            # leaving the genuine per-iteration pallas/XLA overhead
+            dt = timed_delta(make_chained, x, iters=args.iters)
             print(f"  {label:14s}: {dt * 1e6:9.1f} us/call", flush=True)
         except Exception as e:
             print(f"  {label:14s}: FAIL {str(e).splitlines()[0][:90]}",
