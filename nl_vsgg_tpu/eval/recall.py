@@ -346,7 +346,12 @@ class SceneGraphEvaluator:
         """Epoch score fed to the plateau scheduler (train_STTran.py:228)."""
         return float(np.mean(self.recall[k])) if self.recall[k] else 0.0
 
-    def print_stats(self, logger=None) -> str:
+    def print_stats(self, logger=None, note: str = "") -> str:
+        """Reference print format (lib/evaluation_recall.py:383-391). `note`
+        annotates EVERY stats line (e.g. 'burn-in subset only' when the
+        device-eval promotion skipped host scoring for most of the split) so
+        a partial table copied into a report carries its own qualification."""
+        tag = f" [{note}]" if note else ""
         lines = [f"======================{self.mode}============================"]
         for name, sink in (("Recall(Main)", self.recall),
                            ("No Graph Constraint Recall(Main)", self.recall_nogc),
@@ -354,12 +359,12 @@ class SceneGraphEvaluator:
             s = "SGG eval: " + "".join(
                 "  R @ %d: %.4f; " % (k, float(np.mean(v)) if v else 0.0)
                 for k, v in sink.items())
-            lines.append(s + f" for mode={self.mode}, type={name}.")
+            lines.append(s + f" for mode={self.mode}, type={name}.{tag}")
         for name, mr in (("Mean Recall", self.mean_recall),
                          ("NG Mean Recall", self.ng_mean_recall)):
             s = "SGG eval: " + "".join(
                 " mR @ %d: %.4f; " % (k, v) for k, v in mr.mean_recall.items())
-            lines.append(s + f" for mode={self.mode}, type={name}.")
+            lines.append(s + f" for mode={self.mode}, type={name}.{tag}")
         out = "\n".join(lines)
         if logger is not None:
             logger.info(out)

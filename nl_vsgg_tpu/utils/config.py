@@ -129,6 +129,11 @@ class Config:
     # (host evaluator, the source of truth). Single-process runs only.
     device_eval_burnin: int = 16  # videos compared host-vs-device before
     # promotion takes effect (per epoch)
+    device_eval_recheck: int = 64  # after promotion, host-compare every Nth
+    # device-scored video (0 disables): a divergence that only manifests on
+    # later videos must not silently bias the promoted plateau metric; a
+    # recheck mismatch demotes for the rest of the epoch and flags the
+    # epoch metric as suspect
     remat: bool = False  # rematerialize the temporal-transformer layers in
     # backward (jax.checkpoint): trades recompute FLOPs for activation
     # memory — enables bigger train batches/buckets per chip
@@ -155,6 +160,15 @@ class Config:
     # halves disk (~88 GB for AG train at production buckets) at ~1e-3
     # relative feature error — below the bf16 compute noise most runs use;
     # set float32 for exact-parity runs
+    entry_cache: str = ""  # directory for the packed-Entry disk cache
+    # (data/entry_cache.py): grounding is deterministic per video, so the
+    # finished padded Entry is reusable across epochs and eval re-runs —
+    # warm epochs read one ~1 MB npz per video instead of re-running the
+    # host grounding pass (the reference re-grounds every step,
+    # lib/assign_pseudo_label.py:27-45). Keyed on the pseudo-label pickle
+    # mtime, bucket ladder, and every grounding flag; stale entries are
+    # misses, never reused. union_feat (when present) is stored at
+    # union_feat_cache_dtype like the union cache.
     prng_impl: str = "rbg"  # PRNG for training randomness (dropout / label
     # sampling): "rbg" is ~16% faster per train step on TPU than jax's
     # default threefry2x32 (measured: 120 -> 101 ms at batch 64); both are

@@ -134,6 +134,82 @@ def test_frame_count_mismatch_blocks_promotion(train_mod, rng):
     assert not promo.promoted
 
 
+def test_recheck_periodically_requests_host(train_mod, rng):
+    """r3 advisor: burn-in only verifies the first N videos; with
+    recheck_every=R every Rth post-promotion video must be host-compared so
+    a late-manifesting divergence cannot silently bias the plateau metric."""
+    ev = SceneGraphEvaluator(mode="sgdet")
+    promo = train_mod.DeviceEvalPromotion(burnin=1, recheck_every=3)
+    gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+    marks, row = _host_score_row(ev, gt, pred)
+    promo.add(row, ev, host_marks=marks)
+    assert promo.promoted
+    seen = []
+    for _ in range(6):
+        need = promo.host_needed()
+        seen.append(need)
+        ev2 = SceneGraphEvaluator(mode="sgdet")
+        gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+        marks2, row = _host_score_row(ev2, gt, pred)
+        if need:  # the loop host-scores into ev and compares
+            m = _marks(ev)
+            ev.evaluate_scene_graph(gt, pred)
+            promo.add(row, ev, host_marks=m)
+        else:
+            promo.add(row, ev)
+    # every 3rd video is rechecked; agreement keeps the promotion
+    assert seen == [False, False, True, False, False, True]
+    assert promo.promoted and not promo.late_demoted
+
+
+def test_recheck_mismatch_demotes_mid_epoch(train_mod, rng):
+    ev = SceneGraphEvaluator(mode="sgdet")
+    promo = train_mod.DeviceEvalPromotion(burnin=1, recheck_every=2)
+    gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+    marks, row = _host_score_row(ev, gt, pred)
+    promo.add(row, ev, host_marks=marks)
+    assert promo.promoted
+    # one device-only video, then the recheck tick catches a divergence
+    ev2 = SceneGraphEvaluator(mode="sgdet")
+    gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+    _, row = _host_score_row(ev2, gt, pred)
+    assert not promo.host_needed()
+    promo.add(row, ev)
+    assert promo.host_needed()
+    gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+    m = _marks(ev)
+    ev.evaluate_scene_graph(gt, pred)
+    _, bad = _host_score_row(SceneGraphEvaluator(mode="sgdet"), gt, pred)
+    bad["semi"] = bad["semi"] + 0.25  # divergent device scorer
+    promo.add(bad, ev, host_marks=m)
+    assert promo.late_demoted and not promo.promoted
+    # demoted: host scoring resumes for the rest of the epoch
+    assert promo.host_needed()
+    # score() still covers every video once the loop funnels host rows in
+    ev3 = SceneGraphEvaluator(mode="sgdet")
+    gt, pred = _random_video(rng, n_frames=4, n_objs=2)
+    m3 = {"recall": 0, "recall_nogc": 0, "semi": 0}
+    ev3.evaluate_scene_graph(gt, pred)
+    promo.add_host_rows(ev3, m3)
+    n_rows = sum(r["recall"].shape[0] for r in promo.rows)
+    assert n_rows == 3 + 3 + 3 + 4
+
+
+def test_recheck_zero_disables(train_mod, rng):
+    ev = SceneGraphEvaluator(mode="sgdet")
+    promo = train_mod.DeviceEvalPromotion(burnin=1, recheck_every=0)
+    gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+    marks, row = _host_score_row(ev, gt, pred)
+    promo.add(row, ev, host_marks=marks)
+    assert promo.promoted
+    for _ in range(5):
+        assert not promo.host_needed()
+        ev2 = SceneGraphEvaluator(mode="sgdet")
+        gt, pred = _random_video(rng, n_frames=3, n_objs=2)
+        _, row = _host_score_row(ev2, gt, pred)
+        promo.add(row, ev)
+
+
 def test_skip_rows_mirror_host_zero_rows(train_mod, rng):
     """Grounding-failure videos: the host appends one 0.0 row per frame
     (eval/recall.py evaluate_scene_graph empty-pred path); the promoted

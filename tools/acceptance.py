@@ -265,19 +265,23 @@ def main(argv=None):
                 evaluator = test_mod.main(eval_argv, build_model_fn=build_fn)
             finally:
                 test_mod.load_config = orig_load
-        _stage(results, "eval", evaluator is not None,
-               f"R@20 {evaluator.mean_score(20):.4f} "
-               f"R@50 {evaluator.mean_score(50):.4f}")
+        # evaluate the detail string only when an evaluator exists — an eval
+        # path returning None must record a FAIL stage, not crash the runbook
+        detail = ("no evaluator returned" if evaluator is None else
+                  f"R@20 {evaluator.mean_score(20):.4f} "
+                  f"R@50 {evaluator.mean_score(50):.4f}")
+        _stage(results, "eval", evaluator is not None, detail)
 
         # ---- stage 5: parity gate ----
-        expected = None
-        if args.expected_json:
-            with open(args.expected_json) as f:
-                expected = json.load(f)
-        gate_ok = parity_table(evaluator, expected)
-        if expected:
-            _stage(results, "parity_gate", gate_ok,
-                   f"|Δ| <= {GATE_PTS} pts on every expected metric")
+        if evaluator is not None:
+            expected = None
+            if args.expected_json:
+                with open(args.expected_json) as f:
+                    expected = json.load(f)
+            gate_ok = parity_table(evaluator, expected)
+            if expected:
+                _stage(results, "parity_gate", gate_ok,
+                       f"|Δ| <= {GATE_PTS} pts on every expected metric")
 
     print("\n[acceptance] summary:")
     for name, ok, detail in results:

@@ -63,11 +63,23 @@ def timed_delta(make_chained, *args, iters: int, k: int = 3):
     exactly, leaving pure per-iteration work.
 
     make_chained(n) -> fn(*args) running n carry-chained iterations and
-    returning a scalar whose float() forces a real device fetch."""
+    returning a scalar whose float() forces a real device fetch.
+
+    An unstable pair (shared-chip variance making dk - d1 non-positive or
+    tiny) is re-measured up to 3 times, then raises — clamping to 1e-9 (the
+    pre-r4 behavior) either trips the peak-TFLOPs assert mid-run or silently
+    prints an absurd per-iteration number on CPU (r3 advisor finding)."""
     f1, fk = make_chained(iters), make_chained(k * iters)
-    d1 = timed(lambda *a: float(f1(*a)), *args)
-    dk = timed(lambda *a: float(fk(*a)), *args)
-    return max(dk - d1, 1e-9) / ((k - 1) * iters)
+    for _ in range(3):
+        d1 = timed(lambda *a: float(f1(*a)), *args)
+        dk = timed(lambda *a: float(fk(*a)), *args)
+        delta = dk - d1
+        if delta > 0.1 * dk:  # genuine pairs sit near (k-1)/k; <10% is noise
+            return delta / ((k - 1) * iters)
+    raise RuntimeError(
+        f"two-point differencing unstable after 3 attempts (T({iters})="
+        f"{d1:.4f}s, T({k * iters})={dk:.4f}s): shared-chip variance swamps "
+        f"the differenced window — raise iters or retry later")
 
 
 def bench_train_step(iters: int, B: int = 16, dtype=None,
@@ -371,6 +383,150 @@ def bench_grounding(iters: int):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_train_e2e(n_videos: int = 256, epochs: int = 3,
+                    batch_videos: int = 64, cache: bool = True,
+                    feat_dim: int = 2048, frames: int = 32,
+                    bucket_boxes: int = 128, bucket_rels: int = 96):
+    """Sustained END-TO-END training: ground -> prefetch -> place -> step,
+    whole epochs, wall-clocked (VERDICT r3 #1 — the system number, not the
+    parts). Epoch 0 is cold (host grounding runs, packed-Entry cache
+    builds); epochs 1+ are warm (cache hits — data/entry_cache.py). The
+    reference's unit of work is this composed loop
+    (/root/reference/tools/train_STTran.py:121-203 with a per-step np.load,
+    lib/assign_pseudo_label.py:27-45). Bucket/batch match the train_step
+    row (128 boxes / 96 rels, b64, bf16) so 'sustained vs device-step
+    ceiling' is a like-for-like ratio.
+
+    Timing: one whole epoch is the timed window (seconds — the fixed
+    ~25-45 ms tunnel cost per fetch is <2% here, no differencing needed);
+    the epoch ends with a fetch of a params-dependent scalar, which forces
+    every step because the state chains through all of them
+    (block_until_ready does not wait on axon, CLAUDE.md)."""
+    import pickle
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import build_micro_ag
+
+    import train_STTran as train_mod
+
+    from nl_vsgg_tpu.data.action_genome import AGTrain
+    from nl_vsgg_tpu.data.grounding import DETS_F32, dets_to_f32
+    from nl_vsgg_tpu.data.pipeline import (GroundingPrefetcher,
+                                           TruncationCounter, bucket_batches)
+    from nl_vsgg_tpu.train import place_entries
+    from nl_vsgg_tpu.utils.config import load_config
+
+    F = frames  # 3 objs/frame + person -> 128-box / 96-rel bucket at F=32
+    root = tempfile.mkdtemp(prefix="e2e_bench_")
+    try:
+        t0 = time.perf_counter()
+        ag = build_micro_ag(root, n_videos=n_videos, n_frames=F,
+                            feat_dim=feat_dim, n_objs=3)
+        # native-engine sidecars, like production preprocessing emits
+        with open(os.path.join(ag, "triplets_LLM4SGG.pkl"), "rb") as f:
+            fl = pickle.load(f)
+        for vid, d in fl.items():
+            for fr in d["frame_list"]:
+                p = os.path.join(ag, "frame_features", vid, fr)
+                dets = np.load(os.path.join(p, "dets.npy"), allow_pickle=True)
+                np.save(os.path.join(p, DETS_F32), dets_to_f32(dets.tolist()))
+        print(f"train_e2e   dataset: {n_videos} videos x {F}f built in "
+              f"{time.perf_counter() - t0:.0f}s")
+
+        cfg = load_config(None, {
+            "data_path": ag, "feat_dim": feat_dim, "dtype": "bfloat16",
+            "batch_videos": batch_videos, "seed": 1000,
+            "frame_features_path": os.path.join(ag, "frame_features"),
+            "entry_cache": os.path.join(root, "ecache") if cache else "",
+            "buckets": {"max_frames": [F], "max_boxes": [bucket_boxes],
+                        "max_rels": [bucket_rels]}})
+        ds = AGTrain(ag, remove_one_frame_video=False)
+        from nl_vsgg_tpu.data import schema
+        model = train_mod.build_model(cfg, schema.load_taxonomy())
+        from nl_vsgg_tpu.train import (create_train_state, make_optimizer,
+                                       make_train_step)
+        rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
+        trunc = TruncationCounter()
+
+        def ground(i):
+            return train_mod.ground_video(ds, int(i), cfg, True, cfg.buckets,
+                                          on_truncate=trunc.add)
+
+        sample = ground(0)
+        assert sample is not None
+        tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip_norm)
+        state, tx = create_train_state(model, sample, rng, tx=tx)
+        train_step = jax.jit(make_train_step(model, tx, bce=True),
+                             donate_argnums=(0,))
+        psum = jax.jit(lambda s: sum(jnp.sum(x)
+                                     for x in jax.tree.leaves(s.params)[:4]))
+
+        # compile outside the timed epochs (both the full-batch shape and
+        # psum); a short final batch would add a second compile INSIDE an
+        # epoch — n_videos % batch_videos == 0 avoids it
+        batch0 = place_entries([sample] * batch_videos, zero_union=True,
+                               rel_bf16=True)
+        state, _ = train_step(state, batch0,
+                              jax.random.fold_in(rng, 2 ** 31))
+        float(psum(state))
+
+        dev = jax.devices()[0]
+        results = []
+        step_i = 0
+        for epoch in range(epochs):
+            host_s = {"ground": 0.0, "place": 0.0}
+            lock = __import__("threading").Lock()
+
+            def timed_ground(i):
+                g0 = time.perf_counter()
+                e = ground(i)
+                with lock:
+                    host_s["ground"] += time.perf_counter() - g0
+                return e
+
+            order = np.random.default_rng(cfg.seed + epoch).permutation(
+                len(ds))[:n_videos]
+            e0 = time.perf_counter()
+            pre = GroundingPrefetcher(timed_ground, order.tolist(),
+                                      num_workers=cfg.num_workers)
+            n_seen = 0
+            for entries in bucket_batches(iter(pre), batch_videos):
+                p0 = time.perf_counter()
+                batch = place_entries(entries, zero_union=True, rel_bf16=True)
+                host_s["place"] += time.perf_counter() - p0
+                state, m = train_step(state, batch,
+                                      jax.random.fold_in(rng, step_i))
+                step_i += 1
+                n_seen += len(entries)
+            float(psum(state))  # force every queued step
+            wall = time.perf_counter() - e0
+            frames = n_seen * F
+            results.append((epoch, wall, frames / wall, dict(host_s)))
+            tag = "cold" if epoch == 0 else "warm"
+            print(f"train_e2e   epoch {epoch} ({tag}): {wall:7.2f}s wall, "
+                  f"{frames / wall:8,.0f} frames/s sustained "
+                  f"({n_seen} videos; host ground {host_s['ground']:.2f}s, "
+                  f"place+upload {host_s['place']:.2f}s)")
+        tv, tb, tr = trunc.take()
+        print(f"train_e2e   truncation: {tv} videos, {tb} boxes, {tr} rels "
+              f"dropped across all epochs")
+        if len(results) > 1:
+            warm = results[1:]
+            ws = sum(r[1] for r in warm) / len(warm)
+            print(f"train_e2e   summary: cold {results[0][2]:,.0f} f/s | warm "
+                  f"{n_videos * F / ws:,.0f} f/s (mean of {len(warm)}) on "
+                  f"{getattr(dev, 'device_kind', '?')}")
+        return results
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=10)
@@ -379,7 +535,13 @@ def main():
     p.add_argument("--only", default=None,
                    help="run a single row: roi_align | recall | train_step | "
                         "train_step_bf16 | dsg_train_bf16 | dsg_detr | "
-                        "detector | grounding")
+                        "detector | grounding | train_e2e")
+    p.add_argument("--e2e_videos", type=int, default=256,
+                   help="train_e2e: videos per simulated epoch")
+    p.add_argument("--e2e_epochs", type=int, default=3)
+    p.add_argument("--e2e_no_cache", action="store_true",
+                   help="train_e2e: disable the packed-Entry cache (every "
+                        "epoch pays the full host grounding cost)")
     args = p.parse_args()
     import jax
     print(f"# device: {jax.devices()[0].device_kind}")
@@ -396,12 +558,17 @@ def main():
         "dsg_detr": lambda: bench_dsg_detr(args.iters),
         "grounding": lambda: bench_grounding(max(args.iters, 20)),
         "detector": lambda: bench_detector(args.iters),
+        "train_e2e": lambda: bench_train_e2e(
+            n_videos=args.e2e_videos, epochs=args.e2e_epochs,
+            cache=not args.e2e_no_cache),
     }
     if args.only:
         rows[args.only]()
         return
     for name, row in rows.items():
         if name == "detector" and not args.detector:
+            continue
+        if name == "train_e2e":  # heavy (builds a disk dataset): opt-in
             continue
         row()
 

@@ -70,12 +70,20 @@ def run(M, K, N, iters, mode):
     # two-point differencing (bench_suite.timed_delta rationale): the fixed
     # ~25-45 ms tunnel cost per fetch swamped these ~0.5 ms dots at the
     # round-2 iteration count, compressing the int8/bf16 ratio toward 1.0 —
-    # the "1.03-1.08x, dead end" conclusion was this probe's artifact
-    # clamp like bench_suite.timed_delta: run-to-run variance on the shared
-    # chip can make the raw difference negative, and a negative dt would
-    # print negative throughput that trivially passes the <= peak tripwire
-    dt = max(measure(make_chained(3 * iters)) - measure(make_chained(iters)),
-             1e-9) / (2 * iters)
+    # the "1.03-1.08x, dead end" conclusion was this probe's artifact.
+    # Unstable pairs (shared-chip variance making the raw difference tiny or
+    # negative) are re-measured, not clamped: a clamped dt prints absurd
+    # throughput that trivially passes the <= peak tripwire (r3 advisor)
+    f1, f3 = make_chained(iters), make_chained(3 * iters)
+    for _ in range(3):
+        d1, d3 = measure(f1), measure(f3)
+        if d3 - d1 > 0.1 * d3:
+            break
+    else:
+        raise RuntimeError(
+            f"differencing unstable after 3 attempts (T({iters})={d1:.4f}s, "
+            f"T({3 * iters})={d3:.4f}s) — raise --iters or retry later")
+    dt = (d3 - d1) / (2 * iters)
     tops = 2 * M * K * N / dt / 1e12
     # chip-peak tripwire (CLAUDE.md): block_until_ready does not wait on the
     # axon platform, so a silent sync failure prints impossible throughput —

@@ -189,8 +189,72 @@ def _make_union_feat_fn(ds, idx, cfg, is_train, union_provider):
     return union_feat_fn, cache_path, cache_key
 
 
+def _union_provider_key(cfg, union_provider) -> str:
+    """Union-feature provider identity for cache keys ('' = zeros/width-0)."""
+    if union_provider is None:
+        return ""
+    try:
+        mtime = int(os.path.getmtime(str(cfg.vinvl_ckpt)))
+    except OSError:
+        mtime = 0
+    return f"{cfg.vinvl_ckpt}:{mtime}:{cfg.vinvl_dtype}"
+
+
+def _entry_cache_for(ds, cfg, is_train, union_provider):
+    """Per-dataset EntryCache (data/entry_cache.py), built once and stashed
+    on the dataset object like _gt_packs; None when cfg.entry_cache is off."""
+    if not cfg.entry_cache:
+        return None
+    split = "train" if is_train else "test"
+    attr = f"_entry_cache_{split}"
+    cache = getattr(ds, attr, None)
+    if cache is None:
+        from nl_vsgg_tpu.data.entry_cache import EntryCache, entry_cache_key
+        cache = EntryCache(
+            cfg.entry_cache, split,
+            entry_cache_key(cfg, is_train,
+                            _union_provider_key(cfg, union_provider)),
+            union_dtype=cfg.union_feat_cache_dtype)
+        setattr(ds, attr, cache)
+    return cache
+
+
 def ground_video(ds, idx, cfg, is_train, buckets, union_provider=None,
                  on_truncate=None):
+    cache = _entry_cache_for(ds, cfg, is_train, union_provider)
+    if cache is not None:
+        from nl_vsgg_tpu.data.entry_cache import MISS
+        hit = cache.load(ds.video_ids[idx])
+        if hit is not MISS:
+            e, tr = hit
+            if on_truncate is not None and any(tr):
+                on_truncate(*tr)  # keep the epoch truncation tally accurate
+            return e
+        captured = []
+        user_cb = on_truncate
+
+        def on_truncate(nb, nr):  # capture counts for the cache record
+            captured.append((nb, nr))
+            if user_cb is not None:
+                user_cb(nb, nr)
+
+    e = _ground_video_uncached(ds, idx, cfg, is_train, buckets,
+                               union_provider, on_truncate)
+    if cache is not None:
+        uf = None if e is None else np.asarray(e.union_feat)
+        if union_provider is not None and e is not None \
+                and uf.shape[-1] and not uf.any():
+            # the union extractor fell back to zeros (frames missing): do
+            # not let the fallback poison the persistent cache — same rule
+            # as the union-feature cache (grounding.py:301)
+            return e
+        cache.store(ds.video_ids[idx], e,
+                    captured[0] if captured else (0, 0))
+    return e
+
+
+def _ground_video_uncached(ds, idx, cfg, is_train, buckets,
+                           union_provider=None, on_truncate=None):
     paths = [os.path.join(cfg.frame_features_path, f)
              for f in ds.video_list[idx]]
     union_feat_fn, cache_path, cache_key = _make_union_feat_fn(
@@ -245,21 +309,31 @@ class DeviceEvalPromotion:
     exactly (atol 1e-6 covers fp32-vs-float64 division only; hit counts
     must agree). On full agreement the host evaluator is skipped for the
     remaining videos and `score(20)` — the plateau metric — comes from the
-    device rows. ANY value mismatch demotes for the whole epoch: the eval
-    loop then reverts to plain host scoring (no further device calls or
-    comparisons), so a demoted epoch costs no more than
-    device_eval_promote=false. Videos whose GT exceeds the device frame
-    bucket (gt_dropped > 0) are never compared NOR device-scored into the
+    device rows. After promotion every `recheck_every`-th device-scored
+    video is STILL host-compared (r3 advisor: a divergence that only
+    manifests on later videos — e.g. a GT-frame-selection difference the
+    burn-in sample never exercises — must not silently bias the plateau
+    metric for the whole epoch). ANY value mismatch demotes: the eval loop
+    reverts to host scoring for the rest of the epoch, a burn-in demotion
+    costing no more than device_eval_promote=false, while a post-promotion
+    (late) demotion keeps recording host rows into `rows` so `score()`
+    still covers the full split — with at most `recheck_every - 1`
+    unverified device rows before the mismatch (the caller logs that
+    caveat). Videos whose GT exceeds the device frame bucket
+    (gt_dropped > 0) are never compared NOR device-scored into the
     metric — the loop host-scores them and records the host rows — so
     bucket truncation can neither demote the epoch nor bias the promoted
     mean. Final reported numbers should always come from the host
     evaluator (tools/test_*); this only accelerates the per-epoch metric.
     """
 
-    def __init__(self, burnin: int = 16):
+    def __init__(self, burnin: int = 16, recheck_every: int = 64):
         self.burnin = burnin
+        self.recheck_every = recheck_every
         self.checked = 0
         self.ok = True
+        self.late_demoted = False
+        self._since_check = 0  # device-only videos since the last host compare
         self.rows: list[dict] = []
 
     @property
@@ -267,7 +341,11 @@ class DeviceEvalPromotion:
         return self.ok and self.checked >= self.burnin
 
     def host_needed(self) -> bool:
-        return not self.promoted
+        """True during burn-in AND on periodic post-promotion recheck ticks."""
+        if not self.promoted:
+            return True
+        return (self.recheck_every > 0
+                and self._since_check + 1 >= self.recheck_every)
 
     def add_skip(self, gt_annotation) -> None:
         # grounding produced nothing: the host evaluator appends one 0.0 row
@@ -293,10 +371,14 @@ class DeviceEvalPromotion:
 
     def add(self, dev_row: dict, evaluator, host_marks=None) -> None:
         """dev_row: device_eval_video output. host_marks: per-sink list
-        lengths captured BEFORE the host scored this video (burn-in only)."""
+        lengths captured BEFORE the host scored this video (burn-in and
+        periodic recheck videos)."""
         self.rows.append(dev_row)
         if host_marks is None:
+            self._since_check += 1
             return
+        was_promoted = self.promoted
+        self._since_check = 0
         self.checked += 1
         ok = dev_row.get("gt_dropped", 0) == 0  # safety; loop diverts these
         host = self._host_rows(evaluator, host_marks)
@@ -305,6 +387,8 @@ class DeviceEvalPromotion:
             ok &= host[name].shape == dev.shape and \
                 np.allclose(host[name], dev, atol=1e-6)
         self.ok &= ok
+        if not ok and was_promoted:
+            self.late_demoted = True
 
     def score(self, k: int = 20) -> float:
         col = {10: 0, 20: 1, 50: 2}[k]
@@ -357,7 +441,12 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
             if device_recalls is not None:
                 device_recalls.append(dev_row)
             if not active:
+                marks = _marks()
                 evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
+                if promotion is not None and promotion.late_demoted:
+                    # post-promotion demotion: keep recording host rows so
+                    # promotion.score() still covers the full split
+                    promotion.add_host_rows(evaluator, marks)
                 continue
             if dev_row.get("gt_dropped", 0):
                 # GT past the device frame bucket: device scores would drop
@@ -366,7 +455,7 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
                 marks = _marks()
                 evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
                 promotion.add_host_rows(evaluator, marks)
-            elif promotion.host_needed():  # burn-in: compare both
+            elif promotion.host_needed():  # burn-in or periodic recheck
                 marks = _marks()
                 evaluator.evaluate_scene_graph(ds_test.gt_annotations[i], p)
                 promotion.add(dev_row, evaluator, host_marks=marks)
@@ -382,7 +471,7 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
             # empty-pred host scoring is one zeros-append per frame — run it
             # even under promotion (its rows are simply unused when promoted)
             evaluator.evaluate_scene_graph(ds_test.gt_annotations[payload], {})
-            if promotion is not None and promotion.ok:
+            if promotion is not None and (promotion.ok or promotion.late_demoted):
                 promotion.add_skip(ds_test.gt_annotations[payload])
             continue
         items = payload
@@ -646,7 +735,8 @@ def run_training(cfg, args, build_model_fn):
                 logger.warning("device_eval_promote is single-process only "
                                "(burn-in spans one evaluator); ignoring")
             else:
-                promotion = DeviceEvalPromotion(cfg.device_eval_burnin)
+                promotion = DeviceEvalPromotion(cfg.device_eval_burnin,
+                                                cfg.device_eval_recheck)
         if multiproc:
             # each process scores its strided shard of the test split with a
             # LOCAL copy of the (replicated-to-host) weights, then the
@@ -695,13 +785,30 @@ def run_training(cfg, args, build_model_fn):
             logger.warning(
                 f"epoch {epoch} eval: bucket truncation dropped {eb} boxes / "
                 f"{er} relations across {ev} test videos — enlarge cfg.buckets")
+        stats_note = ""
         if promotion is not None and promotion.promoted:
             score = promotion.score(20)
+            stats_note = (f"burn-in+recheck subset only ({promotion.checked} "
+                          f"host-scored videos) — promoted epoch")
             logger.info(
                 f"device evaluator promoted after {promotion.checked} burn-in "
                 f"videos of exact agreement: epoch metric (mean R@20 = "
                 f"{score:.4f}) is device-scored; host stats below cover only "
                 f"the burn-in — run tools/test_*.py for reported numbers")
+        elif promotion is not None and promotion.late_demoted:
+            # a post-promotion recheck mismatch: host rows resumed for the
+            # rest of the split, so promotion.rows covers every video, but up
+            # to recheck_every-1 device rows before the mismatch are
+            # unverified — flag the epoch metric as suspect
+            score = promotion.score(20)
+            stats_note = "partial host coverage — demoted mid-epoch"
+            logger.warning(
+                f"device evaluator DEMOTED mid-epoch by a recheck mismatch "
+                f"after promotion: epoch metric (mean R@20 = {score:.4f}) "
+                f"mixes verified device rows and host rows, with up to "
+                f"{promotion.recheck_every - 1} unverified device-scored "
+                f"videos before the mismatch — treat this epoch's metric as "
+                f"suspect and re-run tools/test_*.py")
         else:
             if promotion is not None:
                 why = ("host/device mismatch during burn-in — demoted"
@@ -714,7 +821,7 @@ def run_training(cfg, args, build_model_fn):
             score = evaluator.mean_score(20)
         evaluator.calculate_mean_recall()
         logger.info(f"------------Inference in Epoch ({epoch})------------")
-        evaluator.print_stats(logger)
+        evaluator.print_stats(logger, note=stats_note)
         new_lr = scheduler.step(score)
         state = set_learning_rate(state, new_lr)
         metrics.write(global_step, epoch=epoch, mean_r20=score, lr=new_lr)
