@@ -107,6 +107,28 @@ def pick_bucket(sizes: tuple[int, ...], n: int) -> int:
     return sizes[-1]
 
 
+def pick_joint_bucket(box_sizes, rel_sizes, n_boxes: int, n_rels: int
+                      ) -> tuple[int, int]:
+    """Smallest shared ladder RUNG fitting both exact counts.
+
+    Pairing the two ladders by rung index keeps the compiled-shape count at
+    |ladder| (one train-step compile per rung) instead of |boxes| x |rels|
+    combinations. Exact post-grounding counts fill buckets ~2-3x better
+    than the pre-grounding detection-count hint (the hint counts every raw
+    detection; grounding keeps only the person + GT-matched objects —
+    tools/tune_buckets.py evidence run)."""
+
+    def idx(sizes, n):
+        for i, s in enumerate(sizes):
+            if n <= s:
+                return i
+        return len(sizes) - 1
+
+    i = max(idx(box_sizes, n_boxes), idx(rel_sizes, n_rels))
+    return (box_sizes[min(i, len(box_sizes) - 1)],
+            rel_sizes[min(i, len(rel_sizes) - 1)])
+
+
 def pad_entry(e: Entry, n_boxes: int, n_rels: int) -> Entry:
     """Pad (or truncate, keeping the first rows) every field to bucket shape."""
 

@@ -38,7 +38,7 @@ from .entry import Entry
 
 # bump when the cached layout or grounding semantics change: old files
 # become misses, never wrong entries
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: all-zero union_feat stored as a shape marker
 
 # fields stored at reduced precision when full-width (the same tradeoff and
 # dtype knob as the union-feature cache, utils/config.py union_feat_cache_dtype)
@@ -97,7 +97,15 @@ class EntryCache:
                     self.hits += 1
                     return None, trunc
                 kw = {}
+                zero_union = "__union_zero_shape__" in z.files
                 for f in dataclasses.fields(Entry):
+                    if f.name == _UNION_FIELD and zero_union:
+                        # no-provider grounding: the union block is all
+                        # zeros — reconstruct via calloc instead of reading
+                        # ~19 MB of stored zeros back per video per epoch
+                        kw[f.name] = np.zeros(
+                            tuple(z["__union_zero_shape__"]), np.float32)
+                        continue
                     v = z[f.name]
                     if f.name == _UNION_FIELD and v.dtype != np.float32:
                         v = v.astype(np.float32)
@@ -119,6 +127,13 @@ class EntryCache:
         if entry is not None:
             for f in dataclasses.fields(Entry):
                 v = np.asarray(getattr(entry, f.name))
+                if f.name == _UNION_FIELD and v.size and not v.any():
+                    # all-zero union block (no union provider): a shape
+                    # marker replaces ~19 MB of zeros — the dominant cost of
+                    # both the store and every warm-epoch load
+                    payload["__union_zero_shape__"] = np.asarray(
+                        v.shape, np.int64)
+                    continue
                 if f.name == _UNION_FIELD and v.shape[-1] \
                         and self.union_dtype != "float32":
                     v = v.astype(self.union_dtype)
@@ -151,4 +166,5 @@ def entry_cache_key(cfg, is_train: bool, union_key: str) -> str:
         f"boxes{cfg.buckets.max_boxes}", f"rels{cfg.buckets.max_rels}",
         f"devmasks{cfg.device_spatial_masks}",
         f"union[{union_key or 'none'}:{cfg.union_feat_cache_dtype}]",
+        "pickexact",  # r4: rungs picked from exact post-grounding counts
     ])

@@ -35,7 +35,7 @@ from typing import Callable, Sequence
 import numpy as np
 
 from . import schema
-from .entry import FEAT_DIM, MASK_P, POOL, Entry, pad_entry, pick_bucket
+from .entry import FEAT_DIM, MASK_P, POOL, Entry, pad_entry, pick_joint_bucket
 
 
 @dataclass
@@ -317,7 +317,8 @@ TruncateFn = Callable[[int, int], None]
 
 
 def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool,
-                bucket_boxes: int, bucket_rels: int,
+                bucket_boxes: int | Sequence[int],
+                bucket_rels: int | Sequence[int],
                 union_feat_fn: UnionFeatFn | None = None,
                 feat_dim: int = FEAT_DIM,
                 compute_spatial_masks: bool = True,
@@ -371,6 +372,14 @@ def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool
     if n_rels == 0:
         return None  # :1302-1304
     n_boxes = len(boxes)
+
+    # ladder form: pick the bucket from the EXACT post-grounding counts —
+    # the pre-grounding detection-count hint overshoots by the unmatched
+    # detections (~2-3x padded compute at AG-shaped distributions,
+    # tools/tune_buckets.py). Joint rung index bounds compile count.
+    if not isinstance(bucket_boxes, (int, np.integer)):
+        bucket_boxes, bucket_rels = pick_joint_bucket(
+            tuple(bucket_boxes), tuple(bucket_rels), n_boxes, n_rels)
 
     boxes = np.asarray(boxes, np.float32).reshape(n_boxes, 4)
     labels_np = np.asarray(labels, np.int64)
@@ -436,7 +445,8 @@ def build_entry(grounded: Sequence[GroundedFrame], gt_annotation, is_train: bool
 
 
 def wk_forward(frames: Sequence[FrameDetections], gt_annotation, is_train: bool,
-               bucket_boxes: int, bucket_rels: int,
+               bucket_boxes: int | Sequence[int],
+               bucket_rels: int | Sequence[int],
                union_feat_fn: UnionFeatFn | None = None,
                assets_dir: str | None = None, pseudo_way: int = 0,
                feat_dim: int = FEAT_DIM,
@@ -563,9 +573,13 @@ def wk_forward_native(frame_paths: Sequence[str], gt_annotation, is_train: bool,
         return _NATIVE_UNAVAILABLE
 
     F = len(frame_paths)
-    n_hint = int(dcnt.sum())
-    bb = pick_bucket(tuple(max_boxes_buckets), n_hint)
-    br = pick_bucket(tuple(max_rels_buckets), n_hint)
+    # allocate at the ladder TOP (calloc — untouched pages are free): the
+    # detection-count hint is NOT an upper bound (multi-map fanout can emit
+    # several boxes per detection), and truncating below the top rung would
+    # diverge from the python path's exact-count rung pick. The arrays are
+    # sliced down to the exact rung after the pack (below).
+    bb = int(max_boxes_buckets[-1])
+    br = int(max_rels_buckets[-1])
 
     if is_train and gt_pack is None:
         gt_pack = pack_gt_annotation(gt_annotation)
@@ -620,6 +634,27 @@ def wk_forward_native(frame_paths: Sequence[str], gt_annotation, is_train: bool,
         dropped_rels = n_rels - n_kept
         if dropped_boxes or dropped_rels:
             on_truncate(dropped_boxes, dropped_rels)
+
+    # shrink to the exact-count rung (pick_joint_bucket): the hint-sized
+    # allocation above is typically 2-3x the grounded size. Only when
+    # nothing truncated — under truncation, invalidated rows may sit
+    # anywhere below the write limit and the tail is the top rung anyway.
+    if n_boxes <= bb and n_rels == n_kept:
+        bb2, br2 = pick_joint_bucket(tuple(max_boxes_buckets),
+                                     tuple(max_rels_buckets),
+                                     n_boxes, n_rels)
+        if bb2 < bb or br2 < br:
+            bb, br = min(bb2, bb), min(br2, br)
+            boxes = np.ascontiguousarray(boxes[:bb])
+            box_frame, box_mask = box_frame[:bb].copy(), box_mask[:bb].copy()
+            labels, scores = labels[:bb].copy(), scores[:bb].copy()
+            dist, feats = (np.ascontiguousarray(dist[:bb]),
+                           np.ascontiguousarray(feats[:bb]))
+            pair_idx = np.ascontiguousarray(pair_idx[:br])
+            im_idx, rel_mask = im_idx[:br].copy(), rel_mask[:br].copy()
+            att = np.ascontiguousarray(att[:br])
+            sp = np.ascontiguousarray(sp[:br])
+            con = np.ascontiguousarray(con[:br])
 
     rm = rel_mask.astype(bool)
     union = np.concatenate([

@@ -254,6 +254,91 @@ def mean_recall_video(gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx, rel_mask,
     return hits, counts
 
 
+@partial(jax.jit, static_argnames=("ks", "num_frames", "top_n"))
+def _recall_batch_all(gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx, rel_mask,
+                      att_probs, sp_probs, con_probs, boxes, classes,
+                      obj_scores, num_frames: int, top_n: int = 100,
+                      ks: tuple[int, ...] = (10, 20, 50)):
+    """All three R@K variants for a whole (B, ...) batch of videos in ONE
+    device call. Returns (rc, ng, sm) each (B, F, len(ks)) + has (B, F) so
+    the caller fetches a single packed tuple — on a tunneled chip this
+    amortizes the fixed ~30 ms round trip across B videos instead of paying
+    it 3+ times per video (VERDICT r3 #3)."""
+
+    def one(gt_t, gt_b, gt_m, pi, ii, rm, ap, sp, cp, bx, cl, sc):
+        rc, has = recall_video_with_constraint(
+            gt_t, gt_b, gt_m, pi, ii, rm, ap, sp, cp, bx, cl, sc,
+            num_frames=num_frames, ks=ks)
+        ng, _ = recall_video_no_constraint(
+            gt_t, gt_b, gt_m, pi, ii, rm, ap, sp, cp, bx, cl, sc,
+            num_frames=num_frames, top_n=top_n, ks=ks)
+        sm, _ = recall_video_semi(
+            gt_t, gt_b, gt_m, pi, ii, rm, ap, sp, cp, bx, cl, sc,
+            num_frames=num_frames, ks=ks)
+        return rc, ng, sm, has
+
+    return jax.vmap(one)(gt_trip, gt_boxes8, gt_mask, pair_idx, im_idx,
+                         rel_mask, att_probs, sp_probs, con_probs, boxes,
+                         classes, obj_scores)
+
+
+def _softmax_np(x):
+    import numpy as np
+    x = np.asarray(x, np.float32)
+    e = np.exp(x - x.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def device_eval_batch(entries, preds: list[dict], gt_annotations, evaluator,
+                      g_max: int = 32, f_bucket: int | None = None
+                      ) -> list[dict]:
+    """Batched `device_eval_video`: score a whole eval batch per device call
+    and fetch one packed array set. Same per-video row contents (parity
+    tested); the win is tunnel economics — the per-video path pays the
+    fixed round-trip 3+ times per video, this pays ~2 per BATCH (one
+    dispatch, one device_get of the packed tuple).
+
+    Entries from one `bucket_batches` batch share padded shapes by
+    construction; videos are still grouped by shape key defensively so a
+    mixed list cannot mis-stack. Ref protocol being accelerated:
+    /root/reference/tools/train_STTran.py:210-232 (per-epoch eval loop)."""
+    import numpy as np
+    n = len(entries)
+    packed = [pack_gt_video(g, evaluator, g_max, f_bucket)
+              for g in gt_annotations]
+
+    def args_of(i):
+        e, p = entries[i], preds[i]
+        trip, boxes8, mask, _ = packed[i]
+        return (trip, boxes8, mask,
+                np.asarray(e.pair_idx, np.int32),
+                np.asarray(e.im_idx, np.int32),
+                np.asarray(e.rel_mask),
+                _softmax_np(p["attention_distribution"]),
+                np.asarray(p["spatial_distribution"], np.float32),
+                np.asarray(p["contacting_distribution"], np.float32),
+                np.asarray(e.boxes, np.float32),
+                np.asarray(p["pred_labels"], np.int32),
+                np.asarray(p["pred_scores"], np.float32))
+
+    host_args = [args_of(i) for i in range(n)]
+    rows: list[dict | None] = [None] * n
+    by_shape: dict[tuple, list[int]] = {}
+    for i, a in enumerate(host_args):
+        by_shape.setdefault(tuple(x.shape for x in a), []).append(i)
+    for idxs in by_shape.values():
+        stacked = [jnp.asarray(np.stack([host_args[i][j] for i in idxs]))
+                   for j in range(12)]
+        F = host_args[idxs[0]][0].shape[0]
+        out = _recall_batch_all(*stacked, num_frames=F)
+        rc, ng, sm, has = jax.device_get(out)  # ONE packed fetch
+        for bi, i in enumerate(idxs):
+            sel = has[bi]
+            rows[i] = {"recall": rc[bi][sel], "recall_nogc": ng[bi][sel],
+                       "semi": sm[bi][sel], "gt_dropped": packed[i][3]}
+    return rows  # type: ignore[return-value]
+
+
 def pack_gt_video(gt_annotation, evaluator, g_max: int = 32,
                   f_bucket: int | None = None):
     """AGTest-style per-frame GT lists -> padded (F, G, ...) triplet tensors

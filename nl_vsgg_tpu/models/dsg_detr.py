@@ -228,6 +228,12 @@ class DSGDETR(nn.Module):
             # order), not the unique-subject rank — duplicate non-modal
             # classes in one frame get consecutive positions
             ranks = sequence_ordinal(obj_cls, rmask)
+        # taps for the sequence-parallel parity test (parallel/dsg_detr_sp.py):
+        # no-ops unless apply() makes "intermediates" mutable
+        self.sow("intermediates", "rel_features", rel_features)
+        self.sow("intermediates", "frame_of", frame_of)
+        self.sow("intermediates", "obj_cls", obj_cls)
+        self.sow("intermediates", "ranks", ranks)
         g = SinusoidalPE(d_model, max_len=400, name="positional_encoder")(h, ranks, det)
         for i in range(self.dec_layer_num):
             g = Enc(d_model, 8, 2048, dtype=self.dtype, fused=self.fused,

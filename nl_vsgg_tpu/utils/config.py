@@ -24,14 +24,20 @@ import yaml
 class BucketConfig:
     """Static-shape padding buckets for jit stability.
 
-    Every video is padded to the smallest bucket that fits it; each bucket
-    compiles once. Shapes follow AG statistics (tens of frames, <=10 boxes
-    per frame).
+    Every video is padded to the smallest rung that fits its EXACT
+    post-grounding counts (data/entry.py pick_joint_bucket — box and rel
+    ladders are paired by rung index, one compile per rung). Defaults are
+    the DP-tuned ladder from `tools/tune_buckets.py --synthetic 8000`
+    (AG-shaped distribution, assumptions in synthetic_ag_counts): +40%
+    padded-cost overhead / 0 truncated vs +57% / 64 truncated for the
+    previous power-of-two ladder, per-rung occupancy 68-83% (BASELINE.md
+    bucket-ladder evidence). Re-run the tuner against the real dataset
+    (`--cfg`, scans feat.npy headers) when the artifacts exist.
     """
 
     max_frames: tuple[int, ...] = (8, 16, 32, 64, 128)
-    max_boxes: tuple[int, ...] = (16, 32, 64, 128, 256)
-    max_rels: tuple[int, ...] = (16, 32, 64, 128, 256)
+    max_boxes: tuple[int, ...] = (64, 96, 144, 224, 376)
+    max_rels: tuple[int, ...] = (40, 64, 96, 152, 272)
 
 
 @dataclass(frozen=True)
@@ -169,6 +175,14 @@ class Config:
     # mtime, bucket ladder, and every grounding flag; stale entries are
     # misses, never reused. union_feat (when present) is stored at
     # union_feat_cache_dtype like the union cache.
+    device_entry_store_gb: float = 0.0  # >0 enables the device-resident
+    # Entry store (data/device_store.py) up to this many GB of HBM: epoch 0
+    # streams + fills it, later epochs gather batches HBM-to-HBM from the
+    # shuffled indices alone — no host grounding, no per-batch upload.
+    # Batches are bit-identical to the streamed path (tests/
+    # test_device_store.py). Single-process single-device loops only (the
+    # sharded-store design is noted in device_store.py); overflow falls back
+    # to streaming for the remainder.
     prng_impl: str = "rbg"  # PRNG for training randomness (dropout / label
     # sampling): "rbg" is ~16% faster per train step on TPU than jax's
     # default threefry2x32 (measured: 120 -> 101 ms at batch 64); both are

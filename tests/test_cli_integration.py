@@ -65,6 +65,61 @@ def test_train_then_eval_roundtrip(tmp_path, monkeypatch, capsys):
 
 
 @pytest.mark.slow
+def test_device_entry_store_training_parity(tmp_path, monkeypatch):
+    """Training with the device-resident Entry store (cfg.device_entry_store_gb)
+    must be a pure data-path optimization: same seed + 1 prefetch worker ->
+    the final checkpoint params are IDENTICAL to the streamed path (store
+    batches are bit-identical to place_entries and rng keys by global step).
+    Epoch 1 must actually be served from the store (log line)."""
+    import logging
+
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    ag = build_micro_ag(str(tmp_path), n_videos=6, n_frames=3, feat_dim=32)
+    base = {"mode": "sgdet", "lr": 1e-4, "nepoch": 2, "enc_layer": 1,
+            "dec_layer": 1, "feat_dim": 32, "bce_loss": True,
+            # mesh 1x1: single-device path on the 8-virtual-device conftest
+            # host — the store tier is single-device (config.py)
+            "mesh": {"data": 1, "model": 1},
+            "batch_videos": 2, "num_workers": 1, "seed": 7, "data_path": ag,
+            "pseudo_localized_SG_path": os.path.join(ag, "final_ag_data_w_neg.pkl"),
+            "frame_features_path": os.path.join(ag, "frame_features")}
+    train = _load_tool("train_STTran")
+    params = {}
+    for name, extra in (("stream", {}),
+                        ("store", {"device_entry_store_gb": 1.0})):
+        cfg = {**base, **extra, "save_path": str(tmp_path / f"out_{name}")}
+        cfg_path = str(tmp_path / f"cfg_{name}.yml")
+        with open(cfg_path, "w") as f:
+            yaml.dump(cfg, f)
+        records = []
+
+        class _Cap(logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        cap = _Cap()
+        logging.getLogger("nl_vsgg_tpu").addHandler(cap)
+        monkeypatch.setattr(sys, "argv", ["train_STTran.py", "--cfg", cfg_path])
+        try:
+            train.main()
+        finally:
+            logging.getLogger("nl_vsgg_tpu").removeHandler(cap)
+        if name == "store":
+            assert any("device entry store" in m and "gathered batches" in m
+                       for m in records), "\n".join(records[-30:])
+        ckpt = os.path.join(cfg["save_path"], "ckpt", "1")
+        params[name] = ocp.StandardCheckpointer().restore(ckpt)
+    a = jax.tree.leaves(params["stream"])
+    b = jax.tree.leaves(params["store"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
 def test_dsg_detr_train_cli(tmp_path, monkeypatch):
     ag = build_micro_ag(str(tmp_path), n_videos=2, n_frames=3, feat_dim=32)
     cfg = {"mode": "sgdet", "lr": 1e-4, "nepoch": 1, "feat_dim": 32,

@@ -1,0 +1,112 @@
+"""Device-resident Entry store (data/device_store.py): gather parity vs
+place_entries, bucket grouping, byte budget, and dtype handling."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from nl_vsgg_tpu.data.device_store import DeviceEntryStore
+from nl_vsgg_tpu.data.entry import Entry
+from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
+from nl_vsgg_tpu.train import place_entries
+
+
+def _entries(rng, n, rels=16, boxes=24, frames=3, feat=32):
+    return [make_synthetic_entry(rng, n_frames=frames, objs_per_frame=2,
+                                 bucket_boxes=boxes, bucket_rels=rels,
+                                 feat_dim=feat) for _ in range(n)]
+
+
+def test_gather_matches_place_entries(rng):
+    es = _entries(rng, 6)
+    store = DeviceEntryStore()
+    for i, e in enumerate(es):
+        assert store.add(i, e)
+    store.seal()
+    idx = [4, 1, 5]
+    got = store.gather(idx)
+    want = place_entries([es[i] for i in idx])
+    for f in dataclasses.fields(Entry):
+        a, b = np.asarray(getattr(got, f.name)), np.asarray(getattr(want, f.name))
+        assert a.dtype == b.dtype, f.name
+        np.testing.assert_array_equal(a, b, err_msg=f.name)
+
+
+def test_gather_zero_union_and_rel_bf16(rng):
+    """The production train path ships width-0 union + bf16 rel arrays
+    (place_entries zero_union/rel_bf16); the store must serve the identical
+    batch when built from the same pre-shaped entries."""
+    es = _entries(rng, 4)
+    # production pre-shape: width-0 union sentinel (zero_union upload form)
+    es = [e.replace(union_feat=np.zeros(np.shape(e.union_feat)[:-1] + (0,),
+                                        np.float32)) for e in es]
+    store = DeviceEntryStore(rel_bf16=True)
+    for i, e in enumerate(es):
+        store.add(i, e)
+    store.seal()
+    got = store.gather([2, 0])
+    want = place_entries([es[2], es[0]], rel_bf16=True)
+    assert got.union_feat.dtype == want.union_feat.dtype == jnp.bfloat16
+    assert got.union_feat.shape == want.union_feat.shape
+    np.testing.assert_array_equal(np.asarray(got.spatial_masks, np.float32),
+                                  np.asarray(want.spatial_masks, np.float32))
+    np.testing.assert_array_equal(np.asarray(got.features),
+                                  np.asarray(want.features))
+
+
+def test_feats_bf16_rounds_like_upload_cast(rng):
+    es = _entries(rng, 2)
+    store = DeviceEntryStore(feats_bf16=True)
+    for i, e in enumerate(es):
+        store.add(i, e)
+    store.seal()
+    got = store.gather([0, 1])
+    assert got.features.dtype == jnp.bfloat16
+    want = np.stack([np.asarray(e.features) for e in es]).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got.features, np.float32),
+                                  want.astype(np.float32))
+
+
+def test_mixed_buckets_group_and_refuse_cross_bucket_gather(rng):
+    small = _entries(rng, 3, rels=8, boxes=12)
+    big = _entries(rng, 3, rels=16, boxes=24)
+    store = DeviceEntryStore()
+    for i, e in enumerate(small + big):
+        store.add(i, e)
+    store.seal()
+    assert store.gather([0, 2]) is not None
+    assert store.gather([3, 5]) is not None
+    assert store.gather([0, 3]) is None  # cross-bucket: caller streams
+    assert store.gather([0, 99]) is None  # unknown video: caller streams
+
+
+def test_budget_overflow_stops_adds(rng):
+    es = _entries(rng, 4)
+    per = DeviceEntryStore()._entry_bytes(es[0])
+    store = DeviceEntryStore(budget_bytes=int(per * 2.5))
+    assert store.add(0, es[0]) and store.add(1, es[1])
+    assert not store.add(2, es[2])
+    assert store.overflow and not store.add(3, es[3])
+    store.seal()
+    assert store.gather([0, 1]) is not None
+    assert store.gather([0, 2]) is None
+
+
+def test_incremental_seal_appends(rng):
+    """seal() may be called per batch while the cold epoch streams; rows
+    added after a seal land in the same bucket store with correct mapping."""
+    es = _entries(rng, 5)
+    store = DeviceEntryStore()
+    for i in (0, 1):
+        store.add(i, es[i])
+    store.seal()
+    for i in (2, 3, 4):
+        store.add(i, es[i])
+    store.seal()
+    got = store.gather([3, 0, 4])
+    want = place_entries([es[3], es[0], es[4]])
+    np.testing.assert_array_equal(np.asarray(got.features),
+                                  np.asarray(want.features))
+    np.testing.assert_array_equal(np.asarray(got.pair_idx),
+                                  np.asarray(want.pair_idx))

@@ -85,6 +85,30 @@ def test_union_f16_storage(tmp_path, rng):
                                   np.asarray(e.features))
 
 
+def test_zero_union_stored_as_marker(tmp_path, rng):
+    """No-provider grounding yields a dense ALL-ZERO union block at bucket
+    shape (grounding.py:_resolve_union_features no-provider branch); storing
+    it verbatim costs ~19 MB/video and dominated warm-epoch loads (round-4
+    train_e2e finding). It must round-trip via a shape marker: tiny file,
+    exact zeros + shape + fp32 dtype back."""
+    cache = EntryCache(str(tmp_path), "train", "k1", union_dtype="float16")
+    e = _rand_entry(rng, n_rels=16, feat_dim=256, union_width=True)
+    e = e.replace(union_feat=np.zeros_like(np.asarray(e.union_feat)))
+    cache.store("v", e)
+    assert os.path.getsize(cache.path("v")) < 1_000_000  # marker, not zeros
+    got, _ = cache.load("v")
+    uf = np.asarray(got.union_feat)
+    assert uf.shape == np.asarray(e.union_feat).shape
+    assert uf.dtype == np.float32
+    assert not uf.any()
+    # nonzero unions still store data (fp16) — the marker is zeros-only
+    e2 = _rand_entry(rng, n_rels=16, feat_dim=256, union_width=True)
+    cache.store("v2", e2)
+    got2, _ = cache.load("v2")
+    np.testing.assert_allclose(np.asarray(got2.union_feat),
+                               np.asarray(e2.union_feat), rtol=1e-3, atol=1e-3)
+
+
 def test_none_tombstone(tmp_path):
     cache = EntryCache(str(tmp_path), "train", "k1")
     cache.store("empty_vid", None)

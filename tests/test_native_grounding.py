@@ -151,12 +151,12 @@ def test_ground_pack_matches_python_fuzz(tmp_path, is_train):
         n_frames = int(rng.integers(1, 7))
         paths, gt = _make_video(str(tmp_path), rng, n_frames, seed)
         frames = load_frame_features(paths, use_native=True, feat_dim=FEAT)
-        n_hint = sum(len(f.classes) for f in frames)
-        bb = pick_bucket(buckets_b, n_hint)
-        br = pick_bucket(buckets_r, n_hint)
         drops = []
-        e_py = wk_forward(frames, gt, is_train, bb, br, feat_dim=FEAT,
-                          compute_spatial_masks=True,
+        # ladders on BOTH paths: each picks the rung from its exact
+        # post-grounding counts (r4 pick_joint_bucket), so the padded
+        # shapes must agree too
+        e_py = wk_forward(frames, gt, is_train, buckets_b, buckets_r,
+                          feat_dim=FEAT, compute_spatial_masks=True,
                           on_truncate=lambda b, r: drops.append((b, r)))
         e_nat = wk_forward_native(paths, gt, is_train, buckets_b, buckets_r,
                                   feat_dim=FEAT, compute_spatial_masks=True)

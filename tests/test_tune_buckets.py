@@ -45,13 +45,12 @@ def test_cli_on_micro_ag(tmp_path, capsys):
         yaml.dump(cfg, f)
     bb, br = tune.main(["--cfg", cfg_path, "-k", "3"])
     out = capsys.readouterr().out
-    assert "max_boxes:" in out and "scanned 4 videos" in out
+    assert "max_boxes:" in out and "# 4 videos:" in out
     # micro AG: 3 dets/frame x 3 frames = 9 boxes -> one aligned-up bucket.
-    # The rel ladder is tuned on the SAME box distribution: the runtime
-    # selects both buckets with the pre-grounding box-count hint
-    # (tools/train_STTran.py::ground_video), so rel edges placed on a
-    # rels~boxes-frames model would never be selected
-    assert bb == [16] and br == [16]
+    # The rel ladder is tuned on rels ~ boxes - frames (r4: the runtime
+    # picks the rung from exact post-grounding counts with a JOINT rung
+    # index, data/entry.py pick_joint_bucket, so rel edges are live)
+    assert bb == [16] and br == [8]
 
     # the printed YAML round-trips through load_config
     from nl_vsgg_tpu.utils.config import load_config
@@ -60,7 +59,7 @@ def test_cli_on_micro_ag(tmp_path, capsys):
                                      "max_frames": [4, 8]}), f)
     c = load_config(cfg_path)
     assert c.buckets.max_boxes == (16,)
-    assert c.buckets.max_rels == (16,)
+    assert c.buckets.max_rels == (8,)
     assert c.buckets.max_frames == (4, 8)
 
 

@@ -8,11 +8,13 @@ relations) and times, over the SAME (gt, pred) pairs:
             removes for every post-burn-in video)
   device  — eval/recall_jax.device_eval_video (pack + upload + all three
             R@K variants + fetch). On this tunneled chip the per-video
-            fetch adds the fixed ~25-45 ms round trip, so the wall number
-            here is tunnel-dominated; the kernel itself is 0.204 ms/video
-            (BASELINE.md, differenced). On a real TPU host the fetch is
-            microseconds — both numbers are printed so either deployment
-            can be reasoned about.
+            fetch adds the fixed ~25-45 ms round trip 3+ times per video,
+            so the wall number is tunnel-dominated; the kernel itself is
+            0.204 ms/video (BASELINE.md, differenced).
+  batched — eval/recall_jax.device_eval_batch: the whole batch scored in
+            ONE device call with ONE packed fetch (VERDICT r3 #3) — the
+            fixed round-trip amortizes across B videos. This is the form
+            evaluate_epoch uses under device_eval/promotion.
 
 Usage: python tools/probe_epoch_eval.py [--videos N]
 """
@@ -33,6 +35,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--videos", type=int, default=24)
     p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--batch", type=int, default=12)
     args = p.parse_args()
 
     from nl_vsgg_tpu.eval import SceneGraphEvaluator
@@ -60,7 +63,7 @@ def main():
         ev.evaluate_scene_graph(gt, pred)
     host_ms = (time.perf_counter() - t0) / args.videos * 1e3
 
-    # --- device path (includes per-video pack/upload/fetch) ---
+    # --- device path, per video (includes per-video pack/upload/fetch) ---
     ev2 = SceneGraphEvaluator(mode="sgdet")
     for gt, pred in vids[:2]:
         device_eval_video(_E(pred), pred, gt, ev2, f_bucket=args.frames)
@@ -69,14 +72,35 @@ def main():
         device_eval_video(_E(pred), pred, gt, ev2, f_bucket=args.frames)
     dev_ms = (time.perf_counter() - t0) / args.videos * 1e3
 
-    print(f"videos={args.videos} frames={args.frames}")
+    # --- device path, batch-packed (ONE call + ONE fetch per batch —
+    #     the form evaluate_epoch actually uses, VERDICT r3 #3) ---
+    from nl_vsgg_tpu.eval.recall_jax import device_eval_batch
+    B = args.batch
+    ev3 = SceneGraphEvaluator(mode="sgdet")
+
+    def run_batched():
+        for s in range(0, len(vids), B):
+            chunk = vids[s:s + B]
+            device_eval_batch([_E(p) for _, p in chunk],
+                              [p for _, p in chunk],
+                              [g for g, _ in chunk], ev3,
+                              f_bucket=args.frames)
+    run_batched()  # compile
+    t0 = time.perf_counter()
+    run_batched()
+    batch_ms = (time.perf_counter() - t0) / args.videos * 1e3
+
+    print(f"videos={args.videos} frames={args.frames} batch={B}")
     print(f"host evaluate_scene_graph : {host_ms:7.2f} ms/video "
           f"(removed per post-burn-in video under device_eval_promote)")
     print(f"device_eval_video (wall)  : {dev_ms:7.2f} ms/video "
-          f"(tunnel round-trip dominated here; kernel is 0.204 ms — "
-          f"BASELINE.md)")
-    print(f"-> at real-AG scale (~1750 test videos/epoch) promotion removes "
-          f"~{host_ms * 1750 / 1e3:.0f} s of host scoring per epoch")
+          f"(3+ tunnel round-trips per video)")
+    print(f"device_eval_batch (wall)  : {batch_ms:7.2f} ms/video "
+          f"(~2 round-trips per {B}-video batch)")
+    print(f"-> at real-AG scale (~1750 test videos/epoch) promotion with "
+          f"batched scoring removes ~{(host_ms - batch_ms) * 1750 / 1e3:.0f} s "
+          f"NET per epoch on this link "
+          f"(gross host-scoring removal ~{host_ms * 1750 / 1e3:.0f} s)")
 
 
 if __name__ == "__main__":

@@ -24,6 +24,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--stage5_only", action="store_true",
+                   help="just the stage5 rows (pack sweep + RoI-batch "
+                        "sweep) — VERDICT r3 #8")
     args = p.parse_args()
 
     import jax
@@ -41,6 +44,9 @@ def main():
         ("stage5(rois)", 300, 14, 14, 2048),
     ]
     rng = np.random.default_rng(0)
+
+    if args.stage5_only:
+        stages = stages[-1:]
 
     for name, N, H, W, C in stages:
         x = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32),

@@ -288,10 +288,10 @@ def _ground_video_uncached(ds, idx, cfg, is_train, buckets,
         # library or dets_f32 sidecars unavailable: python path below
     frames = load_frame_features(paths,
         use_native=cfg.use_native_io, feat_dim=cfg.feat_dim)
-    n_hint = sum(len(f.classes) for f in frames)
-    bb = pick_bucket(buckets.max_boxes, n_hint)
-    br = pick_bucket(buckets.max_rels, n_hint)
-    return wk_forward(frames, ds.gt_annotations[idx], is_train, bb, br,
+    # ladders pass through: build_entry picks the rung from the EXACT
+    # post-grounding counts (pick_joint_bucket)
+    return wk_forward(frames, ds.gt_annotations[idx], is_train,
+                      buckets.max_boxes, buckets.max_rels,
                       union_feat_fn=union_feat_fn,
                       feat_dim=cfg.feat_dim, pseudo_way=cfg.pseudo_way,
                       compute_spatial_masks=not cfg.device_spatial_masks,
@@ -428,16 +428,26 @@ def evaluate_epoch(cfg, tax, ds_test, n_test, get_entry, eval_step, state,
 
     def score(items, handles):
         pred = jax.device_get(handles)
+        ps = [entry_to_eval_pred(e, {k: v[bi] for k, v in pred.items()})
+              for bi, (i, e) in enumerate(items)]
+        # batched device scoring: ONE device call + ONE packed fetch for the
+        # whole batch — the per-video path pays the fixed ~30 ms tunnel
+        # round-trip 3+ times per video (VERDICT r3 #3). Computed up front
+        # when any video will need a device row this batch.
+        dev_rows = [None] * len(items)
+        if device_recalls is not None or (promotion is not None
+                                          and promotion.ok):
+            from nl_vsgg_tpu.eval.recall_jax import device_eval_batch
+            dev_rows = device_eval_batch(
+                [e for _, e in items], ps,
+                [ds_test.gt_annotations[i] for i, _ in items],
+                evaluator, f_bucket=32)
         for bi, (i, e) in enumerate(items):
-            p = entry_to_eval_pred(e, {k: v[bi] for k, v in pred.items()})
+            p = ps[bi]
             # a demoted promotion reverts to plain host scoring: no further
-            # device calls or comparisons for the rest of the epoch
+            # device comparisons for the rest of the epoch
             active = promotion is not None and promotion.ok
-            dev_row = None
-            if device_recalls is not None or active:
-                from nl_vsgg_tpu.eval.recall_jax import device_eval_video
-                dev_row = device_eval_video(
-                    e, p, ds_test.gt_annotations[i], evaluator, f_bucket=32)
+            dev_row = dev_rows[bi]
             if device_recalls is not None:
                 device_recalls.append(dev_row)
             if not active:
@@ -616,7 +626,9 @@ def run_training(cfg, args, build_model_fn):
     # multi-device: shard the video batch over the mesh 'data' axis, params
     # per the model-parallel rules; XLA inserts the gradient all-reduce
     mesh = None
-    if len(jax.devices()) > 1:
+    # mesh: {data: 1, model: 1} on a multi-device host means "use one
+    # device" — the plain single-device path (and the device entry store)
+    if len(jax.devices()) > 1 and (cfg.mesh.data, cfg.mesh.model) != (1, 1):
         from nl_vsgg_tpu.parallel import (batch_sharding, make_mesh,
                                           shard_state)
         model_par = cfg.mesh.model
@@ -649,6 +661,28 @@ def run_training(cfg, args, build_model_fn):
     n_train = len(ds_train) if not args.max_videos else min(args.max_videos, len(ds_train))
     n_test = len(ds_test) if not args.max_videos else min(args.max_videos, len(ds_test))
 
+    # device-resident Entry store (data/device_store.py): epoch 0 fills it
+    # while streaming; later epochs gather batches HBM-to-HBM from indices
+    # alone. Entries are added in their UPLOAD form (width-0 union when no
+    # provider, bf16 rel arrays) so gathered batches are bit-identical to
+    # place_entries (tests/test_device_store.py).
+    entry_store = None
+    if cfg.device_entry_store_gb:
+        if multiproc or mesh is not None:
+            logger.warning("device_entry_store_gb is single-process "
+                           "single-device only for now; ignoring")
+        else:
+            from nl_vsgg_tpu.data.device_store import DeviceEntryStore
+            entry_store = DeviceEntryStore(
+                budget_bytes=int(cfg.device_entry_store_gb * 1e9),
+                rel_bf16=cfg.dtype == "bfloat16")
+
+    def store_add(i, e):
+        if union_provider is None:
+            uf0 = np.zeros(np.shape(e.union_feat)[:-1] + (0,), np.float32)
+            e = e.replace(union_feat=uf0)
+        entry_store.add(int(i), e)
+
     # resume continues the step counter (metrics.jsonl keys stay unique and
     # the per-step dropout keys don't replay epoch 0's sequence)
     global_step = int(jax.device_get(state.step))
@@ -674,11 +708,25 @@ def run_training(cfg, args, build_model_fn):
                     yield cfg.batch_videos, b
         else:
             def batch_iter():
+                stream_order = order.tolist()
+                n_stored_batches = 0
+                if entry_store is not None:
+                    stored, stream_order = entry_store.plan_batches(
+                        stream_order, cfg.batch_videos)
+                    for idxs in stored:  # HBM-to-HBM: indices only
+                        with timer("store_gather"):
+                            batch = entry_store.gather(idxs)
+                        n_stored_batches += 1
+                        yield len(idxs), batch
+                from nl_vsgg_tpu.data import bucket_events
                 prefetcher = GroundingPrefetcher(
                     lambda idx: ground(ds_train, idx, True),
-                    order.tolist(), num_workers=cfg.num_workers)
-                for bucket_entries in bucket_batches(iter(prefetcher),
-                                                     cfg.batch_videos):
+                    stream_order, num_workers=cfg.num_workers)
+                for kind, payload in bucket_events(iter(prefetcher),
+                                                   cfg.batch_videos):
+                    if kind == "skip":
+                        continue
+                    bucket_entries = [e for _, e in payload]
                     with timer("batch_build"):
                         # with no union provider, union_feat is all-zeros:
                         # build it on device instead of uploading ~38 MB/video
@@ -689,7 +737,20 @@ def run_training(cfg, args, build_model_fn):
                                               zero_union=union_provider is None,
                                               rel_bf16=cfg.dtype == "bfloat16")
                         batch = place_batch(batch)
+                    if entry_store is not None and not entry_store.overflow:
+                        with timer("store_build"):
+                            for i, e in payload:
+                                store_add(i, e)
+                            entry_store.seal()  # overlaps the queued step
                     yield len(bucket_entries), batch
+                if entry_store is not None and (n_stored_batches
+                                                or entry_store.overflow):
+                    logger.info(
+                        f"device entry store: {n_stored_batches} gathered "
+                        f"batches this epoch, {entry_store.bytes / 1e9:.2f} "
+                        f"GB resident"
+                        + (", over budget — remainder streams"
+                           if entry_store.overflow else ""))
         profiling = False
         for n_batch, batch in batch_iter():
             n_seen += n_batch

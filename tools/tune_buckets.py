@@ -114,6 +114,45 @@ def waste(counts: np.ndarray, buckets: list[int], alpha: float) -> tuple[float, 
     return padded / max(exact, 1e-9) - 1.0, trunc
 
 
+def synthetic_ag_counts(n_videos: int, seed: int = 0
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """AG-shaped (grounded_boxes, frames) samples for ladder evidence when
+    the real dataset is absent (VERDICT r3 #6). Since round 4 the rung is
+    picked from the EXACT post-grounding counts (data/entry.py
+    pick_joint_bucket) — grounding keeps the person + the GT-matched
+    objects per frame, NOT every raw detection (the old hint overshot
+    ~2-3x; see the comparison this tool prints). Assumptions, documented
+    and replaceable by a real scan the day the artifacts exist:
+
+      * labeled frames/video: Action Genome annotates ~234k frames over
+        ~9.8k train videos (~23.8/video, long-tailed; the dataset layer
+        keeps videos with >2 person frames,
+        /root/reference/dataloader/wk_action_genome.py:268-302) —
+        modeled lognormal(median 20, sigma 0.55) clipped [3, 100];
+      * grounded boxes/frame: 1 person + the frame's matched GT objects
+        (AG annotates a handful of objects in view) — modeled
+        1 + clip(1 + Poisson(1.5), 1, 5).
+    """
+    rng = np.random.default_rng(seed)
+    frames = np.clip(rng.lognormal(np.log(20), 0.55, n_videos), 3, 100
+                     ).astype(int)
+    boxes = np.array([
+        int((1 + np.clip(1 + rng.poisson(1.5, f), 1, 5)).sum())
+        for f in frames])
+    return boxes, frames
+
+
+def occupancy(counts: np.ndarray, buckets: list[int]) -> list[tuple]:
+    """Per-bucket (edge, #videos, mean fill %) under first-fit-up."""
+    rows = []
+    prev = 0
+    for b in buckets:
+        sel = counts[(counts > prev) & (counts <= b)]
+        rows.append((b, len(sel), float(sel.mean() / b) if len(sel) else 0.0))
+        prev = b
+    return rows
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--cfg", dest="cfg_file", default=None)
@@ -126,39 +165,58 @@ def main(argv=None):
                    help="quadratic-cost scale: cost(b) = b + b^2/alpha")
     p.add_argument("--align", type=int, default=8,
                    help="round bucket edges up to this multiple")
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="skip the disk scan: tune against N videos sampled "
+                        "from the documented AG-shaped distribution "
+                        "(synthetic_ag_counts) — ladder evidence when the "
+                        "real dataset is absent")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     from nl_vsgg_tpu.utils.config import load_config
     cfg = load_config(args.cfg_file)
-    features_dir = args.features_dir or cfg.frame_features_path
-    frame_lists_path = args.frame_lists or os.path.join(
-        cfg.data_path, "triplets_LLM4SGG.pkl")
-    with open(frame_lists_path, "rb") as f:
-        frame_lists = pickle.load(f)
+    if args.synthetic:
+        boxes, frames = synthetic_ag_counts(args.synthetic, args.seed)
+        print(f"# synthetic AG-shaped sample: {args.synthetic} videos "
+              f"(assumptions in synthetic_ag_counts docstring)")
+    else:
+        features_dir = args.features_dir or cfg.frame_features_path
+        frame_lists_path = args.frame_lists or os.path.join(
+            cfg.data_path, "triplets_LLM4SGG.pkl")
+        with open(frame_lists_path, "rb") as f:
+            frame_lists = pickle.load(f)
 
-    stats = scan_video_counts(features_dir, frame_lists)
-    if not stats:
-        raise SystemExit(f"no videos found under {features_dir}")
-    boxes = np.asarray([b for b, _ in stats.values()])
-    frames = np.asarray([f for _, f in stats.values()])
+        stats = scan_video_counts(features_dir, frame_lists)
+        if not stats:
+            raise SystemExit(f"no videos found under {features_dir}")
+        boxes = np.asarray([b for b, _ in stats.values()])
+        frames = np.asarray([f for _, f in stats.values()])
 
-    print(f"# scanned {len(stats)} videos: boxes p50/p90/p99/max = "
+    print(f"# {len(boxes)} videos: boxes p50/p90/p99/max = "
           f"{np.percentile(boxes, 50):.0f}/{np.percentile(boxes, 90):.0f}/"
           f"{np.percentile(boxes, 99):.0f}/{boxes.max()}; frames max {frames.max()}")
 
     bb = optimal_buckets(boxes, args.max_buckets, args.alpha, args.align)
-    # the runtime selects BOTH buckets with the same pre-grounding BOX-count
-    # hint (tools/train_STTran.py::ground_video — relation counts are unknown
-    # before grounding, and boxes >= rels makes the box hint truncation-safe),
-    # so the rel ladder must be optimized against the box distribution too;
-    # edges placed on a rels~boxes-frames distribution would be dead at
-    # runtime and the DP's occupancy numbers fiction
-    br = optimal_buckets(boxes, args.max_buckets, args.alpha, args.align)
+    # r4: the runtime picks the rung from EXACT post-grounding counts with a
+    # JOINT rung index (data/entry.py pick_joint_bucket), so the rel ladder
+    # can be tuned against the rel distribution (rels = boxes - frames: one
+    # relation row per grounded person-object pair) as long as it has the
+    # same rung count — pad with the box ladder's tail if the DP returns
+    # fewer rungs
+    rels = np.maximum(boxes - frames, 1)
+    br = optimal_buckets(rels, args.max_buckets, args.alpha, args.align)
+    while len(br) < len(bb):
+        br.append(bb[len(br)])
+    br = br[:len(bb)]
     w_new, t_new = waste(boxes, bb, args.alpha)
     w_old, t_old = waste(boxes, list(cfg.buckets.max_boxes), args.alpha)
     print(f"# padded-cost overhead (boxes): current buckets "
           f"{list(cfg.buckets.max_boxes)} = +{w_old:.1%} "
           f"({t_old} videos truncated); tuned = +{w_new:.1%} ({t_new} truncated)")
+    print(f"# compile count: {len(bb)} bucket shapes (one train-step compile "
+          f"each, persistent-cached across runs)")
+    for b, n, fill in occupancy(boxes, bb):
+        print(f"#   bucket {b:4d}: {n:5d} videos, mean fill {fill:.0%}")
     print("# paste into your config yaml:")
     print("buckets:")
     print(f"  max_boxes: {bb}")
