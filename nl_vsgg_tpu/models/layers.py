@@ -264,6 +264,68 @@ class TorchEncoderLayer(nn.Module):
         return nn.LayerNorm(name="norm2", dtype=self.dtype)(x)
 
 
+# Trace-time switch for the hand-derived MaskedBatchNorm backward, so A/B
+# probes can build both variants in one process (tools/probe_bn_bwd.py).
+MBN_CUSTOM_VJP = True
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _masked_bn_core(eps, x, m, count, scale, bias):
+    """Masked-BN training normalization with a hand-fused backward.
+
+    Forward math is identical to the two-pass formulation in
+    MaskedBatchNorm.__call__ (fp32 statistics, biased var, output cast to
+    x.dtype). The autodiff backward of that formulation re-walks the mean
+    pass, the var pass, and the normalize separately (~6 HBM passes over x
+    and dy); the hand derivation below needs the classic two reductions
+    (sum dy, sum dy*(x-mean)) over ONE fused read plus one elementwise pass
+    — the measured structural lever on the train step's BN-backward
+    reduce_sum share (BASELINE.md train-step attribution, bwd
+    spatial_conv/bn reduce_sum rows).
+    """
+    out, mean, var, _ = _mbn_forward_math(eps, x, m, count, scale, bias)
+    return out, mean, var
+
+
+def _mbn_forward_math(eps, x, m, count, scale, bias):
+    red = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    mean = (xf * m).sum(axis=red) / count
+    var = (((xf - mean) ** 2) * m).sum(axis=red) / count  # biased
+    rstd = 1.0 / jnp.sqrt(var + eps)
+    out = (scale * (xf - mean) * rstd + bias).astype(x.dtype)
+    return out, mean, var, rstd
+
+
+def _mbn_fwd(eps, x, m, count, scale, bias):
+    out, mean, var, rstd = _mbn_forward_math(eps, x, m, count, scale, bias)
+    return (out, mean, var), (x, m, count, scale, mean, rstd)
+
+
+def _mbn_bwd(eps, res, cts):
+    x, m, count, scale, mean, rstd = res
+    dy, dmean_ct, dvar_ct = cts
+    red = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    xc = xf - mean
+    # two reductions over one fused read of (dy, x)
+    sum_dy = dyf.sum(axis=red)                       # (C,)
+    sum_dyx = (dyf * xc).sum(axis=red)               # (C,)
+    # out is produced at EVERY position (invalid rows are normalized too,
+    # downstream masks them), so the direct-path sums run unmasked; only
+    # the mean/var paths carry the mask, and sum(m*(x-mean)) == 0 kills
+    # the var->mean cross term
+    dvar = -0.5 * (sum_dyx * scale) * rstd ** 3 + dvar_ct
+    dmean = -(sum_dy * scale) * rstd + dmean_ct
+    dxf = dyf * (scale * rstd) + m * (2.0 * dvar * xc + dmean) / count
+    return (dxf.astype(x.dtype), jnp.zeros_like(m), jnp.zeros_like(count),
+            sum_dyx * rstd, sum_dy)
+
+
+_masked_bn_core.defvjp(_mbn_fwd, _mbn_bwd)
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over valid rows only; torch-compatible running stats.
 
@@ -285,46 +347,50 @@ class MaskedBatchNorm(nn.Module):
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
-        else:
-            # statistics in fp32 regardless of the compute dtype (like flax's
-            # BatchNorm): summing ~1e4 bf16 elements loses ~1e-2 per channel
-            # and would pollute the fp32 running buffers
-            m = mask.astype(jnp.float32)
-            while m.ndim < x.ndim:
-                m = m[..., None]
-            # count VALID POSITIONS, not valid rows: for (N, H, W, C) inputs
-            # torch BatchNorm2d normalizes over N*H*W per channel, so the
-            # denominator must include the spatial dims the row mask
-            # broadcasts over
-            count = jnp.maximum(
-                jnp.broadcast_to(m, x.shape[:-1] + (1,)).sum(), 1.0)
-            red = tuple(range(x.ndim - 1))
-            # two-pass mean/var in fp32 (golden vs torch). Measured dead
-            # ends (don't retry): (1) one-pass E[x^2]-E[x]^2 via variadic
-            # lax.reduce — its autodiff rules emit reshape/slice/add_any
-            # chains costing 4x the upcast (tools/probe_trace.py); (2) for
-            # bf16 inputs, an MXU Gram pass over [x*m | m] (exact fp32
-            # accumulation of bf16 products, count/sum/sumsq in one dot) —
-            # the concat materializes a second copy of x, C+1=129 pads a
-            # full extra lane tile, and the Gram's backward matmul costs
-            # more than the saved fp32 upcast: 82.0 -> 95.1 ms on the b64
-            # bf16 train step (tools/bench_suite.py --only train_step_bf16,
-            # same-session A/B).
-            xf = x.astype(jnp.float32)
-            mean = (xf * m).sum(axis=red) / count
-            var = (((xf - mean) ** 2) * m).sum(axis=red) / count  # biased
-            if not self.is_initializing():
-                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
-                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
-        out = scale * (x.astype(jnp.float32) - mean) \
-            * (1.0 / jnp.sqrt(var + self.epsilon)) + bias
-        # normalize in fp32, return in the caller's compute dtype: a bf16
-        # tower (SpatialMaskConv) otherwise round-trips its maxpool and the
-        # following conv through fp32 at 2x the HBM traffic; fp32 callers
-        # are unchanged. Rounding is monotonic, so e.g. max-pool over the
-        # bf16 output equals the bf16 cast of the fp32 max-pool.
-        return out.astype(x.dtype)
+            out = scale * (x.astype(jnp.float32) - mean) \
+                * (1.0 / jnp.sqrt(var + self.epsilon)) + bias
+            # normalize in fp32, return in the caller's compute dtype: a
+            # bf16 tower (SpatialMaskConv) otherwise round-trips its
+            # maxpool and the following conv through fp32 at 2x the HBM
+            # traffic; fp32 callers are unchanged. Rounding is monotonic,
+            # so e.g. max-pool over the bf16 output equals the bf16 cast
+            # of the fp32 max-pool.
+            return out.astype(x.dtype)
+
+        # statistics in fp32 regardless of the compute dtype (like flax's
+        # BatchNorm): summing ~1e4 bf16 elements loses ~1e-2 per channel
+        # and would pollute the fp32 running buffers
+        m = mask.astype(jnp.float32)
+        while m.ndim < x.ndim:
+            m = m[..., None]
+        # count VALID POSITIONS, not valid rows: for (N, H, W, C) inputs
+        # torch BatchNorm2d normalizes over N*H*W per channel, so the
+        # denominator must include the spatial dims the row mask
+        # broadcasts over
+        count = jnp.maximum(
+            jnp.broadcast_to(m, x.shape[:-1] + (1,)).sum(), 1.0)
+        # two-pass mean/var in fp32 (golden vs torch), hand-fused backward
+        # (_masked_bn_core). Measured dead ends for the FORWARD (don't
+        # retry): (1) one-pass E[x^2]-E[x]^2 via variadic lax.reduce — its
+        # autodiff rules emit reshape/slice/add_any chains costing 4x the
+        # upcast (tools/probe_trace.py); (2) for bf16 inputs, an MXU Gram
+        # pass over [x*m | m] (exact fp32 accumulation of bf16 products,
+        # count/sum/sumsq in one dot) — the concat materializes a second
+        # copy of x, C+1=129 pads a full extra lane tile, and the Gram's
+        # backward matmul costs more than the saved fp32 upcast: 82.0 ->
+        # 95.1 ms on the b64 bf16 train step (tools/bench_suite.py --only
+        # train_step_bf16, same-session A/B).
+        if MBN_CUSTOM_VJP:
+            out, mean, var = _masked_bn_core(self.epsilon, x, m, count,
+                                             scale, bias)
+        else:  # autodiff reference path, kept for parity/probe A/B
+            out, mean, var, _ = _mbn_forward_math(self.epsilon, x, m,
+                                                  count, scale, bias)
+        if not self.is_initializing():
+            unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+            ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+            ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        return out
 
 
 def sinusoidal_position_table(max_len: int, d_model: int) -> jnp.ndarray:

@@ -65,6 +65,54 @@ def test_masked_rows_do_not_pollute_stats():
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_custom_vjp_matches_autodiff(monkeypatch, dtype):
+    """The hand-fused backward (_masked_bn_core) must equal autodiff grads
+    through the two-pass formulation — same math, different association."""
+    from nl_vsgg_tpu.models import layers
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((6, 14, 14, 5)) * 2 + 1.0, dtype)
+    mask = jnp.asarray([True, True, True, True, False, False])
+    w = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+
+    def run(custom):
+        monkeypatch.setattr(layers, "MBN_CUSTOM_VJP", custom)
+        bn = MaskedBatchNorm(momentum=0.1)
+        variables = bn.init(jax.random.key(0), x, mask)
+        params = {
+            "scale": jnp.asarray(rng.standard_normal(5), jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(5), jnp.float32),
+        }
+
+        def loss(params, x):
+            out, upd = bn.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, mask, use_running_average=False,
+                mutable=["batch_stats"])
+            return (out.astype(jnp.float32) * w).sum(), upd["batch_stats"]
+
+        (val, upd), grads = jax.value_and_grad(loss, argnums=(0, 1),
+                                               has_aux=True)(params, x)
+        return val, upd, grads
+
+    # same rng stream for both: re-seed
+    rng = np.random.default_rng(3)
+    _ = rng.standard_normal((6, 14, 14, 5)), rng.standard_normal(x.shape)
+    v1, u1, g1 = run(custom=True)
+    rng = np.random.default_rng(3)
+    _ = rng.standard_normal((6, 14, 14, 5)), rng.standard_normal(x.shape)
+    v2, u2, g2 = run(custom=False)
+
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves((u1, g1)), jax.tree.leaves((u2, g2))):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_bf16_input_keeps_fp32_stats():
     rng = np.random.default_rng(2)
     x = (rng.standard_normal((16, 14, 14, 4)) + 2.0).astype(np.float32)

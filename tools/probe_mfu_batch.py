@@ -1,0 +1,174 @@
+"""MFU-vs-batch curve for the full train step (VERDICT r3 #2).
+
+Sweeps batch_videos in {64, 128, 256} for both relation families (STTran,
+DSG-DETR) at bf16 production settings, with the forced-synchronization
+discipline from bench.py (chained fori_loop, dependent scalar fetch, peak-
+TFLOPs tripwire). All variants are compiled up front and the timed calls
+are INTERLEAVED round-robin across variants (3 rounds, per-variant min) so
+shared-chip drift hits every point equally — cross-process comparisons are
+noise-dominated on this chip (CLAUDE.md).
+
+The question this answers: round 3 characterized train MFU (42.6% STTran /
+41% DSG-DETR) only at b64 and noted ~5% of the step (optimizer pass + idle)
+should amortize with batch. This curve decides the production
+`batch_videos` (utils/config.py) from data.
+
+Usage: python tools/probe_mfu_batch.py [--iters N] [--batches 64,128,256]
+       [--families sttran,dsg] [--rounds R]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--batches", default="64,128,256")
+    p.add_argument("--families", default="sttran,dsg")
+    p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--remat_batches", default="",
+                   help="comma batch sizes to ALSO try with remat=True "
+                        "(sttran only) — the fallback when a plain big "
+                        "batch OOMs the 16 GB HBM")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
+    from nl_vsgg_tpu.models.dsg_detr import DSGDETR
+    from nl_vsgg_tpu.models.sttran import STTran
+    from nl_vsgg_tpu.train import (create_train_state, make_optimizer,
+                                   make_train_step, stack_entries)
+    from tools.bench_suite import check_physical
+
+    # persistent jit cache (same dir as conftest): the 6 train-step
+    # compiles dominate probe wall time otherwise
+    if not os.environ.get("NL_VSGG_NO_JAX_CACHE"):
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/nl_vsgg_jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.device_kind}", flush=True)
+    FEAT, F = 2048, 32
+    rng = np.random.default_rng(0)
+    key1 = jax.random.key(1, impl="rbg")
+    dtype = jnp.bfloat16
+
+    # one entry pool reused across batch sizes so the only thing that
+    # changes between variants is B
+    pool = [make_synthetic_entry(rng, n_frames=F, objs_per_frame=3,
+                                 bucket_boxes=128, bucket_rels=96,
+                                 feat_dim=FEAT) for _ in range(16)]
+
+    def make_batch(B):
+        entries = [pool[i % len(pool)] for i in range(B)]
+        batch = jax.tree.map(jnp.asarray, stack_entries(entries))
+        return batch.replace(union_feat=batch.union_feat.astype(dtype),
+                             spatial_masks=batch.spatial_masks.astype(dtype))
+
+    batches = [int(b) for b in args.batches.split(",")]
+    families = args.families.split(",")
+
+    K = 3
+    remat_batches = [int(b) for b in args.remat_batches.split(",") if b]
+    grid = [(f, B, False) for f in families for B in batches]
+    grid += [("sttran", B, True) for B in remat_batches]
+    variants = []  # (name, B, N, flops, f1, fk, state, batch)
+    made = {}
+    for family, B, remat in grid:
+        if (family, remat) not in made:
+            if family == "sttran":
+                model = STTran(mode="sgdet", feat_dim=FEAT, dtype=dtype,
+                               remat=remat)
+            else:
+                model = DSGDETR(mode="sgdet", feat_dim=FEAT, dtype=dtype)
+            tx = make_optimizer(lr=1e-5)
+            state, tx2 = create_train_state(model, pool[0],
+                                            jax.random.key(0), tx=tx)
+            made[(family, remat)] = (state, make_train_step(model, tx2,
+                                                            bce=True))
+        state, step = made[(family, remat)]
+        if True:
+            batch = make_batch(B)
+
+            def chained_fn(n, step=step):
+                @jax.jit
+                def chained(state, batch):
+                    def body(i, st):
+                        st, _ = step(st, batch, jax.random.fold_in(key1, i))
+                        return st
+                    st = lax.fori_loop(0, n, body, state)
+                    return sum(jnp.sum(x)
+                               for x in jax.tree.leaves(st.params)[:4])
+                return chained
+
+            name = f"{family}_b{B}" + ("_remat" if remat else "")
+            t0 = time.time()
+            try:
+                flops = float(
+                    jax.jit(lambda s, b, step=step: step(s, b, key1))
+                    .lower(state, batch).compile()
+                    .cost_analysis()["flops"])
+                # scale iters down for big batches: comparable timed windows
+                N = max(2, args.iters * batches[0] // B)
+                f1, fk = chained_fn(N), chained_fn(K * N)
+                float(f1(state, batch)), float(fk(state, batch))
+            except Exception as e:  # RESOURCE_EXHAUSTED on the 16 GB HBM
+                print(f"# {name}: FAILED after {time.time() - t0:.0f}s — "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                del batch
+                continue
+            print(f"# compiled {name} in {time.time() - t0:.0f}s "
+                  f"({flops / 1e12:.2f} TFLOP/call)", flush=True)
+            variants.append((name, B, N, flops, f1, fk, state, batch))
+
+    from tools.bench_suite import timed
+    best = {name: float("inf") for name, *_ in variants}
+    for r in range(args.rounds):
+        for name, B, N, flops, f1, fk, state, batch in variants:
+            try:
+                d1 = timed(lambda: float(f1(state, batch)), reps=3)
+                dk = timed(lambda: float(fk(state, batch)), reps=3)
+            except Exception as e:
+                print(f"# round {r} {name}: {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+                continue
+            if dk - d1 <= 0.1 * dk:
+                print(f"# round {r} {name}: unstable pair "
+                      f"({d1:.3f}/{dk:.3f}s), skipped", flush=True)
+                continue
+            per = (dk - d1) / ((K - 1) * N)
+            best[name] = min(best[name], per)
+            print(f"# round {r} {name}: {per * 1e3:.2f} ms/step", flush=True)
+
+    from bench import PEAK_TFLOPS
+    peak = PEAK_TFLOPS.get(dev.device_kind, max(PEAK_TFLOPS.values()))
+    print()
+    for name, B, N, flops, *_ in variants:
+        per = best[name]
+        if not np.isfinite(per):
+            print(f"{name:14s}: no stable measurement", flush=True)
+            continue
+        tf = check_physical(flops, per, name)
+        print(f"{name:14s}: {per * 1e3:8.2f} ms/step "
+              f"({B * F / per:9,.0f} frames/s, {tf:5.1f} TFLOP/s, "
+              f"MFU {100 * tf / peak:4.1f}%, "
+              f"{flops / 1e12:.2f} TFLOP/call)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
