@@ -103,7 +103,15 @@ def main():
                                                             bce=True))
         state, step = made[(family, remat)]
         if True:
-            batch = make_batch(B)
+            name = f"{family}_b{B}" + ("_remat" if remat else "")
+            try:
+                batch = make_batch(B)
+            except Exception as e:  # big batches may not even ALLOCATE on
+                # a co-tenanted chip (the b128 stack itself can hit
+                # RESOURCE_EXHAUSTED) — record and keep sweeping
+                print(f"# {name}: batch alloc FAILED — "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                continue
 
             def chained_fn(n, step=step):
                 @jax.jit
@@ -116,7 +124,6 @@ def main():
                                for x in jax.tree.leaves(st.params)[:4])
                 return chained
 
-            name = f"{family}_b{B}" + ("_remat" if remat else "")
             t0 = time.time()
             try:
                 flops = float(
