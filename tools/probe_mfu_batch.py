@@ -75,10 +75,18 @@ def main():
                                  feat_dim=FEAT) for _ in range(16)]
 
     def make_batch(B):
+        # stack + cast on HOST, one device_put per leaf: jnp.stack of numpy
+        # entries uploads every leaf then stacks ON DEVICE (2x peak HBM),
+        # and a device-side fp32->bf16 cast of union_feat adds another
+        # transient 2x — at b128 that transient alone is ~5 GB and OOMs a
+        # co-tenanted 16 GB chip even though the final batch fits
+        import ml_dtypes
         entries = [pool[i % len(pool)] for i in range(B)]
-        batch = jax.tree.map(jnp.asarray, stack_entries(entries))
-        return batch.replace(union_feat=batch.union_feat.astype(dtype),
-                             spatial_masks=batch.spatial_masks.astype(dtype))
+        host = jax.tree.map(lambda *xs: np.stack(xs), *entries)
+        host = host.replace(
+            union_feat=host.union_feat.astype(ml_dtypes.bfloat16),
+            spatial_masks=host.spatial_masks.astype(ml_dtypes.bfloat16))
+        return jax.tree.map(jnp.asarray, host)
 
     batches = [int(b) for b in args.batches.split(",")]
     families = args.families.split(",")
@@ -89,23 +97,33 @@ def main():
     grid += [("sttran", B, True) for B in remat_batches]
     variants = []  # (name, B, N, flops, f1, fk, state, batch)
     made = {}
+    batch_by_B = {}
     for family, B, remat in grid:
         if (family, remat) not in made:
-            if family == "sttran":
-                model = STTran(mode="sgdet", feat_dim=FEAT, dtype=dtype,
-                               remat=remat)
-            else:
-                model = DSGDETR(mode="sgdet", feat_dim=FEAT, dtype=dtype)
-            tx = make_optimizer(lr=1e-5)
-            state, tx2 = create_train_state(model, pool[0],
-                                            jax.random.key(0), tx=tx)
-            made[(family, remat)] = (state, make_train_step(model, tx2,
-                                                            bce=True))
+            try:
+                if family == "sttran":
+                    model = STTran(mode="sgdet", feat_dim=FEAT, dtype=dtype,
+                                   remat=remat)
+                else:
+                    model = DSGDETR(mode="sgdet", feat_dim=FEAT, dtype=dtype)
+                tx = make_optimizer(lr=1e-5)
+                state, tx2 = create_train_state(model, pool[0],
+                                                jax.random.key(0), tx=tx)
+                made[(family, remat)] = (state, make_train_step(model, tx2,
+                                                                bce=True))
+            except Exception as e:  # init itself can OOM a full chip
+                print(f"# {family} state init FAILED — {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+                continue
         state, step = made[(family, remat)]
         if True:
             name = f"{family}_b{B}" + ("_remat" if remat else "")
             try:
-                batch = make_batch(B)
+                # identical content across families at the same B: share one
+                # device batch (halves the probe's resident HBM footprint)
+                if B not in batch_by_B:
+                    batch_by_B[B] = make_batch(B)
+                batch = batch_by_B[B]
             except Exception as e:  # big batches may not even ALLOCATE on
                 # a co-tenanted chip (the b128 stack itself can hit
                 # RESOURCE_EXHAUSTED) — record and keep sweeping
