@@ -33,37 +33,53 @@ def _free_port() -> int:
 
 def _run_job(mode: str, tmp_path, nproc: int, devices_per_proc: int,
              timeout: int = 600, extra_env: dict | None = None) -> list[dict]:
-    """Launch `nproc` worker processes; return their JSON results by rank."""
-    port = _free_port()
-    procs, outs = [], []
-    for pid in range(nproc):
-        out = str(tmp_path / f"{mode}_{nproc}p_{pid}.json")
-        env = dict(os.environ)
-        env.pop("XLA_FLAGS", None)
-        env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
-                            f"{devices_per_proc}")
-        env["JAX_PLATFORMS"] = "cpu"
-        env.update(extra_env or {})
-        if nproc > 1:
-            env["NL_VSGG_COORDINATOR"] = f"127.0.0.1:{port}"
-            env["NL_VSGG_NUM_PROCESSES"] = str(nproc)
-            env["NL_VSGG_PROCESS_ID"] = str(pid)
-        else:
-            for k in ("NL_VSGG_COORDINATOR", "NL_VSGG_NUM_PROCESSES",
-                      "NL_VSGG_PROCESS_ID"):
-                env.pop(k, None)
-        procs.append(subprocess.Popen(
-            [sys.executable, WORKER, mode, out], env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-        outs.append(out)
-    logs = []
-    for p in procs:
-        stdout, _ = p.communicate(timeout=timeout)
-        logs.append(stdout.decode("utf-8", "replace"))
-    for pid, p in enumerate(procs):
-        assert p.returncode == 0, (
-            f"worker {pid} rc={p.returncode}\n{logs[pid][-3000:]}")
-    return [json.load(open(o)) for o in outs]
+    """Launch `nproc` worker processes; return their JSON results by rank.
+
+    Gloo's key-exchange window for the first collective is a fixed 30 s; on
+    this 1-core host a contended run (xdist sibling + a background compile)
+    can stagger the workers' jax-import/trace phases past it, failing
+    rendezvous with DEADLINE_EXCEEDED before any of OUR code is at fault.
+    That exact signature gets one bounded retry; every other failure is
+    fatal on the first attempt.
+    """
+    for attempt in (0, 1):
+        port = _free_port()
+        procs, outs = [], []
+        for pid in range(nproc):
+            out = str(tmp_path / f"{mode}_{nproc}p_{pid}.json")
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)
+            env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                                f"{devices_per_proc}")
+            env["JAX_PLATFORMS"] = "cpu"
+            env.update(extra_env or {})
+            if nproc > 1:
+                env["NL_VSGG_COORDINATOR"] = f"127.0.0.1:{port}"
+                env["NL_VSGG_NUM_PROCESSES"] = str(nproc)
+                env["NL_VSGG_PROCESS_ID"] = str(pid)
+            else:
+                for k in ("NL_VSGG_COORDINATOR", "NL_VSGG_NUM_PROCESSES",
+                          "NL_VSGG_PROCESS_ID"):
+                    env.pop(k, None)
+            procs.append(subprocess.Popen(
+                [sys.executable, WORKER, mode, out], env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+            outs.append(out)
+        logs = []
+        for p in procs:
+            stdout, _ = p.communicate(timeout=timeout)
+            logs.append(stdout.decode("utf-8", "replace"))
+        rendezvous_flake = any(
+            p.returncode != 0
+            and "Gloo context initialization failed" in logs[pid]
+            and "DEADLINE_EXCEEDED" in logs[pid]
+            for pid, p in enumerate(procs))
+        if rendezvous_flake and attempt == 0:
+            continue
+        for pid, p in enumerate(procs):
+            assert p.returncode == 0, (
+                f"worker {pid} rc={p.returncode}\n{logs[pid][-3000:]}")
+        return [json.load(open(o)) for o in outs]
 
 
 def test_allgather_and_merge_two_process(tmp_path):
