@@ -18,6 +18,21 @@ HBM; under data parallelism each device only ever consumes its own shard of
 videos, so the store shards with the data axis and scales out with the mesh
 — the natural TPU layout for an epoch-replayed dataset.
 
+Mesh mode (`mesh=...`): videos are assigned to the `data` axis round-robin
+per bucket at `add` time and each shard's rows live ONLY on its own
+device(s) — per-shard raw buffers are uploaded and appended device-locally,
+then assembled into one global jax.Array sharded P('data') via
+`make_array_from_single_device_arrays` (no cross-device movement, lazy and
+cached per bucket). `gather` runs a shard_map-local `jnp.take`: every
+device gathers its own batch rows from its own HBM — zero collectives; the
+returned batch carries exactly the train step's P('data') input sharding.
+`plan_batches` emits shard-balanced batches (batch_size/D videos from every
+shard, grouped in shard order); stragglers stream like any miss. Per-device
+resident bytes are ~`bytes/D` (+ bucket padding to the max shard length),
+which is what lets the store hold splits D× larger than one chip's HBM.
+Parameters sharded over 'model' are orthogonal: the store replicates each
+shard across the model axis, same as the batch itself.
+
 `budget_bytes` caps the store; when the split does not fit, callers fall
 back to streaming uploads (place_entries) — the store is a cache tier, not
 a correctness dependency. Gather semantics are exact: the gathered batch is
@@ -33,6 +48,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .entry import Entry
 
@@ -48,18 +64,49 @@ class DeviceEntryStore:
     Build incrementally with `add` (e.g. while the cold epoch streams), then
     `seal()`. `gather(indices)` returns a batched Entry on device; indices
     are host ints mapped through the store's per-bucket row order.
+
+    With `mesh`, the store shards every bucket's video axis over the mesh's
+    'data' axis (see module docstring); without it, everything lives on the
+    default device.
     """
 
     def __init__(self, budget_bytes: int | None = None,
-                 feats_bf16: bool = False, rel_bf16: bool = False):
+                 feats_bf16: bool = False, rel_bf16: bool = False,
+                 mesh=None):
         self.budget = budget_bytes
         self.feats_bf16 = feats_bf16
         self.rel_bf16 = rel_bf16
+        self.mesh = mesh if mesh is not None and mesh.shape["data"] > 1 \
+            else None
         self._pending: dict[tuple, list[tuple[int, Entry]]] = {}
         self._stores: dict[tuple, Entry] = {}
-        self._row_of: dict[int, tuple[tuple, int]] = {}
+        # non-mesh: vid -> (bucket, row); mesh: vid -> (bucket, shard, row)
+        self._row_of: dict[int, tuple] = {}
         self._bytes = 0
         self.overflow = False
+        if self.mesh is not None:
+            self.D = int(self.mesh.shape["data"])
+            self.M = int(np.prod([v for k, v in self.mesh.shape.items()
+                                  if k != "data"], dtype=np.int64))
+            # device grid with 'data' leading: devs[d] = that shard's
+            # replica devices (the model column)
+            axes = list(self.mesh.axis_names)
+            grid = np.moveaxis(self.mesh.devices,
+                               axes.index("data"), 0).reshape(self.D, self.M)
+            self._shard_devs = [list(grid[d]) for d in range(self.D)]
+            self._counts: dict[tuple, int] = {}       # round-robin cursor
+            self._shard_of: dict[int, int] = {}       # pending vid -> shard
+            # raw (unpadded) per-shard buffers: key -> shard -> Entry list
+            # of committed single-device arrays, one per model replica
+            self._bufs: dict[tuple, dict[int, list[Entry]]] = {}
+            self._nrows: dict[tuple, list[int]] = {}  # key -> per-shard rows
+            self._assembled: dict[tuple, Entry] = {}
+            self._sharding = NamedSharding(self.mesh, P("data"))
+            self._gather_fn = jax.jit(jax.shard_map(
+                lambda s, r: jax.tree.map(
+                    lambda a: jnp.take(a, r, axis=0), s),
+                mesh=self.mesh, in_specs=(P("data"), P("data")),
+                out_specs=P("data")))
 
     def _entry_bytes(self, e: Entry) -> int:
         n = 0
@@ -83,22 +130,36 @@ class DeviceEntryStore:
             self.overflow = True
             return False
         self._bytes += nb
-        self._pending.setdefault(_bucket_key(e), []).append((video_idx, e))
+        key = _bucket_key(e)
+        self._pending.setdefault(key, []).append((video_idx, e))
+        if self.mesh is not None:
+            # balanced per bucket by construction: round-robin over shards
+            c = self._counts.get(key, 0)
+            self._shard_of[video_idx] = c % self.D
+            self._counts[key] = c + 1
         return True
+
+    def _cast(self, host: Entry) -> Entry:
+        big = jnp.bfloat16
+        if self.feats_bf16:
+            host = host.replace(features=host.features.astype(big))
+        if self.rel_bf16:
+            host = host.replace(
+                union_feat=host.union_feat.astype(big),
+                spatial_masks=host.spatial_masks.astype(big))
+        return host
+
+    @staticmethod
+    def _stack(entries: list[Entry]) -> Entry:
+        return jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *entries)
 
     def seal(self) -> None:
         """Stack pending entries per bucket and place them on device."""
-        big = jnp.bfloat16
+        if self.mesh is not None:
+            return self._seal_sharded()
         for key, items in self._pending.items():
-            entries = [e for _, e in items]
-            host = jax.tree.map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs]), *entries)
-            if self.feats_bf16:
-                host = host.replace(features=host.features.astype(big))
-            if self.rel_bf16:
-                host = host.replace(
-                    union_feat=host.union_feat.astype(big),
-                    spatial_masks=host.spatial_masks.astype(big))
+            host = self._cast(self._stack([e for _, e in items]))
             dev = jax.tree.map(jnp.asarray, host)
             if key in self._stores:
                 old = self._stores[key]
@@ -111,6 +172,68 @@ class DeviceEntryStore:
             for r, (vid, _) in enumerate(items):
                 self._row_of[vid] = (key, offset + r)
         self._pending.clear()
+
+    def _seal_sharded(self) -> None:
+        """Append pending rows to their shard's device-local raw buffers.
+
+        Cheap per call (only the NEW rows move, straight to their own
+        device; the model axis gets one replica each); the padded global
+        jax.Array is (re)assembled lazily at the next gather.
+        """
+        for key, items in self._pending.items():
+            by_shard: dict[int, list[tuple[int, Entry]]] = {}
+            for vid, e in items:
+                by_shard.setdefault(self._shard_of.pop(vid), []).append(
+                    (vid, e))
+            bufs = self._bufs.setdefault(key, {})
+            nrows = self._nrows.setdefault(key, [0] * self.D)
+            for d, shard_items in by_shard.items():
+                host = self._cast(self._stack([e for _, e in shard_items]))
+                news = [jax.tree.map(
+                    lambda a, dev=dev: jax.device_put(a, dev), host)
+                    for dev in self._shard_devs[d]]
+                if d in bufs:
+                    # committed inputs pin the concat to the shard's device
+                    bufs[d] = [jax.tree.map(
+                        lambda a, b: jnp.concatenate([a, b]), old, new)
+                        for old, new in zip(bufs[d], news)]
+                else:
+                    bufs[d] = news
+                for r, (vid, _) in enumerate(shard_items):
+                    self._row_of[vid] = (key, d, nrows[d] + r)
+                nrows[d] += len(shard_items)
+            self._assembled.pop(key, None)
+        self._pending.clear()
+
+    def _assemble(self, key: tuple) -> Entry | None:
+        """Global P('data')-sharded Entry for one bucket: per-shard buffers
+        zero-padded (device-locally) to the max shard length, then stitched
+        into one jax.Array with no inter-device transfer."""
+        got = self._assembled.get(key)
+        if got is not None:
+            return got
+        bufs = self._bufs.get(key)
+        if bufs is None or len(bufs) != self.D:
+            return None  # some shard empty: plan_batches never lands here
+        L = max(self._nrows[key])
+
+        def pad(a, n):
+            if n == L:
+                return a
+            z = jnp.zeros((L - n,) + a.shape[1:], a.dtype)
+            return jnp.concatenate([a, z])
+
+        def stitch(*leaves):
+            shape = (self.D * L,) + leaves[0].shape[1:]
+            return jax.make_array_from_single_device_arrays(
+                shape, self._sharding, list(leaves))
+
+        padded = [jax.tree.map(lambda a, n=self._nrows[key][d]: pad(a, n),
+                               rep)
+                  for d in range(self.D) for rep in bufs[d]]
+        out = jax.tree.map(stitch, *padded)
+        self._assembled[key] = out
+        return out
 
     def __contains__(self, video_idx: int) -> bool:
         return video_idx in self._row_of
@@ -139,7 +262,14 @@ class DeviceEntryStore:
         """Group `order` into same-bucket index batches (bucket_batches
         semantics over stored rows). Returns (batches, misses): misses are
         indices not in the store — the caller streams them through the
-        ground->place path, mixing tiers freely within one epoch."""
+        ground->place path, mixing tiers freely within one epoch.
+
+        Mesh mode: batches are SHARD-BALANCED — batch_size/D videos from
+        every data shard, emitted grouped in shard order so the gathered
+        batch's P('data') layout puts each video on the device that stores
+        it. Stragglers (shards drained unevenly by the tail) stream."""
+        if self.mesh is not None:
+            return self._plan_sharded(order, batch_size)
         pending: dict[tuple, list[int]] = {}
         batches: list[list[int]] = []
         misses: list[int] = []
@@ -155,17 +285,72 @@ class DeviceEntryStore:
         batches.extend(pending.values())
         return batches, misses
 
+    def _plan_sharded(self, order, batch_size: int
+                      ) -> tuple[list[list[int]], list[int]]:
+        if batch_size % self.D:
+            return [], [int(i) for i in order]  # caller streams everything
+        per = batch_size // self.D
+        queues: dict[tuple, list[list[int]]] = {}
+        batches: list[list[int]] = []
+        misses: list[int] = []
+        for i in order:
+            hit = self._row_of.get(int(i))
+            if hit is None:
+                misses.append(int(i))
+                continue
+            key, d, _ = hit
+            q = queues.setdefault(key, [[] for _ in range(self.D)])
+            q[d].append(int(i))
+            if all(len(s) >= per for s in q):
+                batch: list[int] = []
+                for s in q:
+                    batch.extend(s[:per])
+                    del s[:per]
+                batches.append(batch)
+        for q in queues.values():
+            for s in q:
+                misses.extend(s)
+        return batches, misses
+
     def gather(self, indices) -> Entry | None:
         """Batched Entry for `indices` (same bucket), assembled on device.
 
         The take is jit-cached per (bucket, batch size); only the (B,) int32
-        row vector crosses the host-device link.
+        row vector crosses the host-device link. Mesh mode: `indices` must
+        be shard-grouped as `plan_batches` emits them; the result is one
+        jax.Array batch sharded P('data'), gathered device-locally.
         """
+        if self.mesh is not None:
+            return self._gather_sharded(indices)
         hit = self.rows_for(indices)
         if hit is None:
             return None
         key, rows = hit
         return _gather_jit(self._stores[key], jnp.asarray(rows))
+
+    def _gather_sharded(self, indices) -> Entry | None:
+        B = len(indices)
+        if B % self.D:
+            return None
+        per = B // self.D
+        keys = set()
+        rows = np.empty(B, np.int32)
+        for pos, i in enumerate(indices):
+            hit = self._row_of.get(int(i))
+            if hit is None:
+                return None
+            key, d, r = hit
+            if pos // per != d:
+                return None  # not shard-grouped: caller streams
+            keys.add(key)
+            rows[pos] = r
+        if len(keys) != 1:
+            return None
+        store = self._assemble(next(iter(keys)))
+        if store is None:
+            return None
+        rows_dev = jax.device_put(rows, self._sharding)
+        return self._gather_fn(store, rows_dev)
 
 
 @jax.jit

@@ -180,9 +180,11 @@ class Config:
     # streams + fills it, later epochs gather batches HBM-to-HBM from the
     # shuffled indices alone — no host grounding, no per-batch upload.
     # Batches are bit-identical to the streamed path (tests/
-    # test_device_store.py). Single-process single-device loops only (the
-    # sharded-store design is noted in device_store.py); overflow falls back
-    # to streaming for the remainder.
+    # test_device_store.py). Under a single-process mesh the store shards
+    # each bucket over the 'data' axis and gathers device-locally (per-chip
+    # resident = bytes/data_par); multi-process (multi-controller) runs use
+    # the DistributedBatcher path instead and ignore this knob. Overflow
+    # falls back to streaming for the remainder.
     prng_impl: str = "rbg"  # PRNG for training randomness (dropout / label
     # sampling): "rbg" is ~16% faster per train step on TPU than jax's
     # default threefry2x32 (measured: 120 -> 101 ms at batch 64); both are

@@ -148,6 +148,33 @@ def test_acceptance_ref_baseline_self_gates(tmp_path, rng, capsys):
     assert any(v > 0 for v in expected["recall"].values())
 
 
+@pytest.mark.slow
+def test_acceptance_train_e2e_stage(tmp_path, capsys):
+    """--train_e2e N (VERDICT r4 #7): the runbook's system-timing stage runs
+    the composed ground->prefetch->place->step loop on the configured
+    dataset and reports cold/warm frames/s as a PASS stage."""
+    ag = build_micro_ag(str(tmp_path), n_videos=4, n_frames=3, feat_dim=32)
+    cfg = {"mode": "sgdet", "feat_dim": 32, "data_path": ag,
+           "pseudo_localized_SG_path": os.path.join(ag, "final_ag_data_w_neg.pkl"),
+           "frame_features_path": os.path.join(ag, "frame_features"),
+           "save_path": str(tmp_path / "out"),
+           "enc_layer": 1, "dec_layer": 1, "batch_videos": 2,
+           "entry_cache": str(tmp_path / "ecache"),
+           "buckets": {"max_frames": [3], "max_boxes": [16],
+                       "max_rels": [16]}}
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    acc = load_tool("acceptance")
+    rc = acc.main(["--cfg", cfg_path, "--out_dir", str(tmp_path / "acc"),
+                   "--oracle_videos", "0", "--train_e2e", "2"])
+    text = capsys.readouterr().out
+    assert rc == 0, text
+    assert "train_e2e" in text and "warm" in text
+    # warm epoch line printed by the loop itself (epoch 1 of 2)
+    assert "epoch 1 (warm)" in text
+
+
 def test_acceptance_ref_baseline_requires_tar(tmp_path, capsys):
     """--ref_baseline with an Orbax dir (no torch .tar) records a FAIL stage
     instead of crashing — the reference model cannot load our format."""

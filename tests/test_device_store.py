@@ -93,6 +93,99 @@ def test_budget_overflow_stops_adds(rng):
     assert store.gather([0, 2]) is None
 
 
+def _mesh(data, model=1):
+    import jax
+
+    from nl_vsgg_tpu.parallel.mesh import make_mesh
+    return make_mesh(data=data, model=model,
+                     devices=jax.devices()[:data * model])
+
+
+def test_sharded_gather_matches_place_entries(rng):
+    """Mesh mode: shard-balanced plan, device-local gather, P('data')
+    output sharding, values identical to place_entries over the same
+    videos — across two incremental seals."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    es = _entries(rng, 11)
+    mesh = _mesh(4)
+    store = DeviceEntryStore(mesh=mesh)
+    for i, e in enumerate(es[:6]):
+        assert store.add(i, e)
+    store.seal()
+    for i, e in enumerate(es[6:], start=6):
+        assert store.add(i, e)
+    store.seal()
+
+    batches, misses = store.plan_batches(list(range(11)), 8)
+    assert len(batches) == 1 and len(batches[0]) == 8
+    assert sorted(batches[0] + misses) == list(range(11))
+    got = store.gather(batches[0])
+    assert got is not None
+    assert got.features.sharding.is_equivalent_to(
+        NamedSharding(mesh, P("data")), got.features.ndim)
+    want = place_entries([es[i] for i in batches[0]])
+    for f in dataclasses.fields(Entry):
+        a = np.asarray(getattr(got, f.name))
+        b = np.asarray(getattr(want, f.name))
+        assert a.dtype == b.dtype, f.name
+        np.testing.assert_array_equal(a, b, err_msg=f.name)
+    # round-robin shard assignment: [0..7] is NOT shard-grouped -> stream
+    assert store.gather(list(range(8))) is None
+    # batch not a multiple of the data axis -> stream
+    assert store.gather(batches[0][:6]) is None
+
+
+def test_sharded_store_with_model_axis(rng):
+    """data=4 x model=2: shards replicate across the model column and the
+    gathered batch matches the dense path bit-for-bit."""
+    es = _entries(rng, 8)
+    store = DeviceEntryStore(mesh=_mesh(4, model=2), rel_bf16=True)
+    for i, e in enumerate(es):
+        store.add(i, e)
+    store.seal()
+    batches, misses = store.plan_batches(list(range(8)), 8)
+    assert len(batches) == 1 and not misses
+    got = store.gather(batches[0])
+    want = place_entries([es[i] for i in batches[0]], rel_bf16=True)
+    np.testing.assert_array_equal(np.asarray(got.features),
+                                  np.asarray(want.features))
+    np.testing.assert_array_equal(
+        np.asarray(got.union_feat, np.float32),
+        np.asarray(want.union_feat, np.float32))
+    np.testing.assert_array_equal(np.asarray(got.num_frames),
+                                  np.asarray(want.num_frames))
+
+
+def test_sharded_plan_rejects_indivisible_batch(rng):
+    es = _entries(rng, 4)
+    store = DeviceEntryStore(mesh=_mesh(4))
+    for i, e in enumerate(es):
+        store.add(i, e)
+    store.seal()
+    batches, misses = store.plan_batches([0, 1, 2, 3], 3)
+    assert not batches and misses == [0, 1, 2, 3]
+
+
+def test_sharded_gathered_batch_feeds_sharded_step(rng):
+    """The gathered batch IS the train step's input: a jitted vmap-apply
+    under the mesh consumes it directly (the sharding the train CLI's
+    place_batch would otherwise have to install)."""
+    import jax
+
+    es = _entries(rng, 8)
+    mesh = _mesh(4)
+    store = DeviceEntryStore(mesh=mesh)
+    for i, e in enumerate(es):
+        store.add(i, e)
+    store.seal()
+    batch = store.gather(store.plan_batches(list(range(8)), 8)[0][0])
+    out = jax.jit(jax.vmap(lambda e: e.features.sum() +
+                           e.pair_idx.sum()))(batch)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_incremental_seal_appends(rng):
     """seal() may be called per batch while the cold epoch streams; rows
     added after a seal land in the same bucket store with correct mapping."""

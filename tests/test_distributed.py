@@ -42,6 +42,7 @@ def _run_job(mode: str, tmp_path, nproc: int, devices_per_proc: int,
     That exact signature gets one bounded retry; every other failure is
     fatal on the first attempt.
     """
+    prior_logs: list[str] = []
     for attempt in (0, 1):
         port = _free_port()
         procs, outs = [], []
@@ -69,16 +70,23 @@ def _run_job(mode: str, tmp_path, nproc: int, devices_per_proc: int,
         for p in procs:
             stdout, _ = p.communicate(timeout=timeout)
             logs.append(stdout.decode("utf-8", "replace"))
-        rendezvous_flake = any(
-            p.returncode != 0
-            and "Gloo context initialization failed" in logs[pid]
+        # A genuine crash in one worker makes its SIBLINGS fail with the
+        # Gloo DEADLINE_EXCEEDED signature too — only retry when EVERY
+        # failed worker shows the rendezvous signature (pure flake); a mixed
+        # failure surfaces immediately with the real crash log.
+        failed = [pid for pid, p in enumerate(procs) if p.returncode != 0]
+        rendezvous_flake = failed and all(
+            "Gloo context initialization failed" in logs[pid]
             and "DEADLINE_EXCEEDED" in logs[pid]
-            for pid, p in enumerate(procs))
+            for pid in failed)
         if rendezvous_flake and attempt == 0:
+            prior_logs = [f"--- attempt 0, worker {pid} ---\n{logs[pid][-1500:]}"
+                          for pid in failed]
             continue
         for pid, p in enumerate(procs):
             assert p.returncode == 0, (
-                f"worker {pid} rc={p.returncode}\n{logs[pid][-3000:]}")
+                f"worker {pid} rc={p.returncode}\n{logs[pid][-3000:]}"
+                + ("\n" + "\n".join(prior_logs) if prior_logs else ""))
         return [json.load(open(o)) for o in outs]
 
 

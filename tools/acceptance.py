@@ -26,6 +26,12 @@ Stages (each prints its own verdict; the final table summarizes):
                  1391-1415): the grounding-quality CEILING any model can
                  reach on this data. Near-zero here means the data engine,
                  not the model, is broken.
+  3c. train_e2e (--train_e2e N) — the sustained system number on the real
+                 artifacts: N epochs of the composed ground -> prefetch ->
+                 place -> step loop (bench_suite.run_train_e2e_loop; epoch 0
+                 cold builds the entry cache + device store, warm epochs
+                 measure the device-resident tier) — parity AND throughput
+                 from one command.
   4. eval      — the full tools/test_STTran.py / test_DSG_DETR.py evaluation
                  (streamed, batched, live union features when --vinvl is
                  given) printing R@10/20/50 + mR@K in the reference's
@@ -313,6 +319,10 @@ def main(argv=None):
                         "next to a converted Orbax dir")
     p.add_argument("--max_videos", type=int, default=0,
                    help="cap eval videos (0 = full split)")
+    p.add_argument("--train_e2e", type=int, default=0, metavar="EPOCHS",
+                   help="also run the train_e2e system-timing stage for this "
+                        "many epochs on the real train split (epoch 0 cold, "
+                        "rest warm; bench_suite.run_train_e2e_loop)")
     p.add_argument("--expected_json", default=None,
                    help="JSON with the PyTorch baseline numbers (fractions): "
                         '{"recall": {"20": 0.26, "50": 0.33}, ...}')
@@ -363,6 +373,44 @@ def main(argv=None):
         _stage(results, "oracle_grounding", r20 >= args.oracle_min,
                f"{n} videos  ceiling R@20 {r20:.4f}  R@50 {r50:.4f}  "
                f"(gate >= {args.oracle_min})")
+
+    # ---- stage 3c: train_e2e system timing on the real artifacts ----
+    # (VERDICT r4 #7: one command produces parity AND the system number —
+    # the composed ground -> prefetch -> place -> step loop of
+    # bench_suite.run_train_e2e_loop, pointed at the real dataset; cold
+    # epoch builds the caches, warm epochs measure the sustained tier)
+    if args.train_e2e:
+        try:
+            from nl_vsgg_tpu.data.action_genome import AGTrain
+            from nl_vsgg_tpu.data.pipeline import TruncationCounter
+            bs_mod = _load_tool("bench_suite")
+            train_mod = _load_tool("train_STTran")
+            ds = AGTrain(cfg.data_path,
+                         pseudo_label_path=cfg.pseudo_localized_SG_path,
+                         remove_one_frame_video=cfg.remove_one_frame_video)
+            trunc = TruncationCounter()
+
+            def _ground(i):
+                return train_mod.ground_video(ds, int(i), cfg, True,
+                                              cfg.buckets,
+                                              on_truncate=trunc.add)
+
+            n_vid = min(args.max_videos, len(ds)) if args.max_videos \
+                else len(ds)
+            n_vid -= n_vid % cfg.batch_videos  # no mid-epoch tail compile
+            res = bs_mod.run_train_e2e_loop(
+                cfg, ds, _ground, n_videos=n_vid, epochs=args.train_e2e,
+                batch_videos=cfg.batch_videos,
+                log=lambda s: print("  " + s))
+            warm = res[1:] or res
+            wfs = sum(r[2] for r in warm) / len(warm)
+            _stage(results, "train_e2e",
+                   np.isfinite(wfs) and wfs > 0,
+                   f"{n_vid} videos  cold {res[0][2]:,.0f} f/s -> warm "
+                   f"{wfs:,.0f} f/s (mean of {len(warm)} epochs)")
+        except Exception as exc:  # record FAIL, keep the runbook going
+            _stage(results, "train_e2e", False,
+                   f"{type(exc).__name__}: {exc}")
 
     # ---- stage 1b: relation checkpoint convert; stage 4: full eval ----
     if args.relation_ckpt:

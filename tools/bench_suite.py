@@ -467,136 +467,174 @@ def bench_train_e2e(n_videos: int = 256, epochs: int = 3,
             "buckets": {"max_frames": [F], "max_boxes": [bucket_boxes],
                         "max_rels": [bucket_rels]}})
         ds = AGTrain(ag, remove_one_frame_video=False)
-        from nl_vsgg_tpu.data import schema
-        model = train_mod.build_model(cfg, schema.load_taxonomy())
-        from nl_vsgg_tpu.train import (create_train_state, make_optimizer,
-                                       make_train_step)
-        rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
         trunc = TruncationCounter()
 
         def ground(i):
             return train_mod.ground_video(ds, int(i), cfg, True, cfg.buckets,
                                           on_truncate=trunc.add)
 
-        sample = ground(0)
-        assert sample is not None
-        tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip_norm)
-        state, tx = create_train_state(model, sample, rng, tx=tx)
-        train_step = jax.jit(make_train_step(model, tx, bce=True),
-                             donate_argnums=(0,))
-        psum = jax.jit(lambda s: sum(jnp.sum(x)
-                                     for x in jax.tree.leaves(s.params)[:4]))
-
-        # compile outside the timed epochs (both the full-batch shape and
-        # psum); a short final batch would add a second compile INSIDE an
-        # epoch — n_videos % batch_videos == 0 avoids it
-        batch0 = place_entries([sample] * batch_videos, zero_union=True,
-                               rel_bf16=True)
-        state, _ = train_step(state, batch0,
-                              jax.random.fold_in(rng, 2 ** 31))
-        float(psum(state))
-
-        store = None
-        if device_store:
-            from nl_vsgg_tpu.data.device_store import DeviceEntryStore
-            store = DeviceEntryStore(budget_bytes=int(store_budget_gb * 1e9),
-                                     rel_bf16=True)
-
-        def store_add(i, e):
-            # pre-shape to the upload form (width-0 union — the zero_union
-            # path) so the gathered batch is bit-identical to place_entries
-            uf0 = np.zeros(np.shape(e.union_feat)[:-1] + (0,), np.float32)
-            store.add(int(i), e.replace(union_feat=uf0))
-
-        dev = jax.devices()[0]
-        results = []
-        step_i = 0
-        for epoch in range(epochs):
-            host_s = {"ground": 0.0, "place": 0.0, "store": 0.0}
-            lock = __import__("threading").Lock()
-
-            def timed_ground(i):
-                g0 = time.perf_counter()
-                e = ground(i)
-                with lock:
-                    host_s["ground"] += time.perf_counter() - g0
-                return e
-
-            def stream(indices):
-                """ground -> prefetch -> place -> step for `indices`."""
-                nonlocal state, step_i
-                seen = 0
-                pre = GroundingPrefetcher(timed_ground, list(indices),
-                                          num_workers=cfg.num_workers)
-                for kind, payload in bucket_events(iter(pre), batch_videos):
-                    if kind == "skip":
-                        continue
-                    p0 = time.perf_counter()
-                    batch = place_entries([e for _, e in payload],
-                                          zero_union=True, rel_bf16=True)
-                    host_s["place"] += time.perf_counter() - p0
-                    state, _ = train_step(state, batch,
-                                          jax.random.fold_in(rng, step_i))
-                    step_i += 1
-                    seen += len(payload)
-                    if store is not None and not store.overflow:
-                        s0 = time.perf_counter()
-                        for i, e in payload:
-                            store_add(i, e)
-                        store.seal()  # upload overlaps the queued step
-                        host_s["store"] += time.perf_counter() - s0
-                return seen
-
-            order = np.random.default_rng(cfg.seed + epoch).permutation(
-                len(ds))[:n_videos]
-            if store is not None:
-                pre, _ = store.plan_batches(order.tolist(), batch_videos)
-                if pre:  # compile the gather outside the timed window,
-                    store.gather(pre[0])  # like the train_step compile above
-            e0 = time.perf_counter()
-            n_seen = 0
-            stored_batches = 0
-            if store is not None:
-                batches, misses = store.plan_batches(order.tolist(),
-                                                     batch_videos)
-                for idxs in batches:  # device-resident tier: indices only
-                    batch = store.gather(idxs)
-                    state, _ = train_step(state, batch,
-                                          jax.random.fold_in(rng, step_i))
-                    step_i += 1
-                    n_seen += len(idxs)
-                    stored_batches += 1
-                n_seen += stream(misses)
-            else:
-                n_seen += stream(order.tolist())
-            float(psum(state))  # force every queued step
-            wall = time.perf_counter() - e0
-            frames = n_seen * F
-            results.append((epoch, wall, frames / wall, dict(host_s)))
-            tag = "cold" if epoch == 0 else "warm"
-            tier = (f", {stored_batches} device-store batches"
-                    if stored_batches else "")
-            print(f"train_e2e   epoch {epoch} ({tag}): {wall:7.2f}s wall, "
-                  f"{frames / wall:8,.0f} frames/s sustained "
-                  f"({n_seen} videos; host ground {host_s['ground']:.2f}s, "
-                  f"place+upload {host_s['place']:.2f}s, store build "
-                  f"{host_s['store']:.2f}s{tier})")
-            if store is not None and store.overflow and epoch == 0:
-                print(f"train_e2e   device store over budget "
-                      f"({store.bytes / 1e9:.2f} GB used): warm epochs "
-                      f"stream the remainder")
+        results = run_train_e2e_loop(
+            cfg, ds, ground, n_videos=n_videos, epochs=epochs,
+            batch_videos=batch_videos, device_store=device_store,
+            store_budget_gb=store_budget_gb)
         tv, tb, tr = trunc.take()
         print(f"train_e2e   truncation: {tv} videos, {tb} boxes, {tr} rels "
               f"dropped across all epochs")
-        if len(results) > 1:
-            warm = results[1:]
-            ws = sum(r[1] for r in warm) / len(warm)
-            print(f"train_e2e   summary: cold {results[0][2]:,.0f} f/s | warm "
-                  f"{n_videos * F / ws:,.0f} f/s (mean of {len(warm)}) on "
-                  f"{getattr(dev, 'device_kind', '?')}")
         return results
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def run_train_e2e_loop(cfg, ds, ground, n_videos: int, epochs: int,
+                       batch_videos: int, device_store: bool = True,
+                       store_budget_gb: float = 10.0, log=print):
+    """The composed-loop timing core of bench_train_e2e, dataset-agnostic:
+    works over any AGTrain-like dataset + ground(i) callable — the
+    acceptance runbook points it at the REAL Action Genome artifacts
+    (tools/acceptance.py --train_e2e) while the synthetic bench feeds the
+    micro-AG fixture. Frames/s uses each grounded video's ACTUAL frame
+    count. Returns [(epoch, wall_s, frames_per_s, host_seconds_dict), ...].
+    """
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import train_STTran as train_mod
+
+    from nl_vsgg_tpu.data import schema
+    from nl_vsgg_tpu.data.pipeline import GroundingPrefetcher, bucket_events
+    from nl_vsgg_tpu.train import (create_train_state, make_optimizer,
+                                   make_train_step, place_entries)
+
+    model = train_mod.build_model(cfg, schema.load_taxonomy())
+    rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
+    rel_bf16 = cfg.dtype == "bfloat16"
+
+    sample = None
+    for i in range(min(len(ds), 32)):
+        sample = ground(i)
+        if sample is not None:
+            break
+    assert sample is not None, "no groundable video in the first 32"
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip_norm)
+    state, tx = create_train_state(model, sample, rng, tx=tx)
+    train_step = jax.jit(make_train_step(model, tx, bce=True),
+                         donate_argnums=(0,))
+    psum = jax.jit(lambda s: sum(jnp.sum(x)
+                                 for x in jax.tree.leaves(s.params)[:4]))
+
+    # compile outside the timed epochs (both the full-batch shape and
+    # psum); a short final batch would add a second compile INSIDE an
+    # epoch — n_videos % batch_videos == 0 avoids it
+    batch0 = place_entries([sample] * batch_videos, zero_union=True,
+                           rel_bf16=rel_bf16)
+    state, _ = train_step(state, batch0,
+                          jax.random.fold_in(rng, 2 ** 31))
+    float(psum(state))
+
+    store = None
+    if device_store:
+        from nl_vsgg_tpu.data.device_store import DeviceEntryStore
+        store = DeviceEntryStore(budget_bytes=int(store_budget_gb * 1e9),
+                                 rel_bf16=rel_bf16)
+
+    def store_add(i, e):
+        # pre-shape to the upload form (width-0 union — the zero_union
+        # path) so the gathered batch is bit-identical to place_entries
+        uf0 = np.zeros(np.shape(e.union_feat)[:-1] + (0,), np.float32)
+        store.add(int(i), e.replace(union_feat=uf0))
+
+    dev = jax.devices()[0]
+    results = []
+    step_i = 0
+    frames_of: dict[int, int] = {}  # actual grounded frame count per video
+    for epoch in range(epochs):
+        host_s = {"ground": 0.0, "place": 0.0, "store": 0.0}
+        lock = threading.Lock()
+
+        def timed_ground(i):
+            g0 = time.perf_counter()
+            e = ground(i)
+            with lock:
+                host_s["ground"] += time.perf_counter() - g0
+            return e
+
+        def stream(indices):
+            """ground -> prefetch -> place -> step for `indices`."""
+            nonlocal state, step_i
+            seen = frames = 0
+            pre = GroundingPrefetcher(timed_ground, list(indices),
+                                      num_workers=cfg.num_workers)
+            for kind, payload in bucket_events(iter(pre), batch_videos):
+                if kind == "skip":
+                    continue
+                p0 = time.perf_counter()
+                batch = place_entries([e for _, e in payload],
+                                      zero_union=True, rel_bf16=rel_bf16)
+                host_s["place"] += time.perf_counter() - p0
+                state, _ = train_step(state, batch,
+                                      jax.random.fold_in(rng, step_i))
+                step_i += 1
+                seen += len(payload)
+                for i, e in payload:
+                    frames_of[int(i)] = int(e.num_frames)
+                    frames += int(e.num_frames)
+                if store is not None and not store.overflow:
+                    s0 = time.perf_counter()
+                    for i, e in payload:
+                        store_add(i, e)
+                    store.seal()  # upload overlaps the queued step
+                    host_s["store"] += time.perf_counter() - s0
+            return seen, frames
+
+        order = np.random.default_rng(cfg.seed + epoch).permutation(
+            len(ds))[:n_videos]
+        if store is not None:
+            pre, _ = store.plan_batches(order.tolist(), batch_videos)
+            if pre:  # compile the gather outside the timed window,
+                store.gather(pre[0])  # like the train_step compile above
+        e0 = time.perf_counter()
+        n_seen = n_frames = 0
+        stored_batches = 0
+        if store is not None:
+            batches, misses = store.plan_batches(order.tolist(),
+                                                 batch_videos)
+            for idxs in batches:  # device-resident tier: indices only
+                batch = store.gather(idxs)
+                state, _ = train_step(state, batch,
+                                      jax.random.fold_in(rng, step_i))
+                step_i += 1
+                n_seen += len(idxs)
+                n_frames += sum(frames_of[int(i)] for i in idxs)
+                stored_batches += 1
+            s, f = stream(misses)
+            n_seen, n_frames = n_seen + s, n_frames + f
+        else:
+            n_seen, n_frames = stream(order.tolist())
+        float(psum(state))  # force every queued step
+        wall = time.perf_counter() - e0
+        results.append((epoch, wall, n_frames / wall, dict(host_s)))
+        tag = "cold" if epoch == 0 else "warm"
+        tier = (f", {stored_batches} device-store batches"
+                if stored_batches else "")
+        log(f"train_e2e   epoch {epoch} ({tag}): {wall:7.2f}s wall, "
+            f"{n_frames / wall:8,.0f} frames/s sustained "
+            f"({n_seen} videos; host ground {host_s['ground']:.2f}s, "
+            f"place+upload {host_s['place']:.2f}s, store build "
+            f"{host_s['store']:.2f}s{tier})")
+        if store is not None and store.overflow and epoch == 0:
+            log(f"train_e2e   device store over budget "
+                f"({store.bytes / 1e9:.2f} GB used): warm epochs "
+                f"stream the remainder")
+    if len(results) > 1:
+        warm = results[1:]
+        wfs = sum(r[2] for r in warm) / len(warm)
+        log(f"train_e2e   summary: cold {results[0][2]:,.0f} f/s | warm "
+            f"{wfs:,.0f} f/s (mean of {len(warm)}) on "
+            f"{getattr(dev, 'device_kind', '?')}")
+    return results
 
 
 def main():

@@ -98,7 +98,7 @@ def main():
     variants = []  # (name, B, N, flops, f1, fk, state, batch)
     made = {}
     batch_by_B = {}
-    for family, B, remat in grid:
+    for gi, (family, B, remat) in enumerate(grid):
         if (family, remat) not in made:
             try:
                 if family == "sttran":
@@ -111,10 +111,17 @@ def main():
                                                 jax.random.key(0), tx=tx)
                 made[(family, remat)] = (state, make_train_step(model, tx2,
                                                                 bce=True))
-            except Exception as e:  # init itself can OOM a full chip
+            except Exception as e:  # init itself can OOM a full chip;
+                # memoize the failure so later grid entries with the same
+                # key skip the 1-3 min re-attempt on this 1-core host
                 print(f"# {family} state init FAILED — {type(e).__name__}: "
                       f"{str(e)[:120]}", flush=True)
+                made[(family, remat)] = None
                 continue
+        if made[(family, remat)] is None:
+            print(f"# {family}_b{B}: skipped (state init failed earlier)",
+                  flush=True)
+            continue
         state, step = made[(family, remat)]
         if True:
             name = f"{family}_b{B}" + ("_remat" if remat else "")
@@ -156,6 +163,11 @@ def main():
                 print(f"# {name}: FAILED after {time.time() - t0:.0f}s — "
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
                 del batch
+                # free the cached device batch unless a LATER grid variant
+                # at the same B could still use it (otherwise batch_by_B
+                # keeps it resident and every later variant feels the OOM)
+                if not any(b == B for _, b, _ in grid[gi + 1:]):
+                    batch_by_B.pop(B, None)
                 continue
             print(f"# compiled {name} in {time.time() - t0:.0f}s "
                   f"({flops / 1e12:.2f} TFLOP/call)", flush=True)

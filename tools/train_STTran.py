@@ -668,14 +668,20 @@ def run_training(cfg, args, build_model_fn):
     # place_entries (tests/test_device_store.py).
     entry_store = None
     if cfg.device_entry_store_gb:
-        if multiproc or mesh is not None:
-            logger.warning("device_entry_store_gb is single-process "
-                           "single-device only for now; ignoring")
+        if multiproc:
+            logger.warning("device_entry_store_gb is single-process only "
+                           "(multi-controller runs use DistributedBatcher); "
+                           "ignoring")
         else:
             from nl_vsgg_tpu.data.device_store import DeviceEntryStore
+            # under a mesh the store shards each bucket over 'data' and
+            # gathered batches arrive pre-sharded P('data') — no place_batch
             entry_store = DeviceEntryStore(
                 budget_bytes=int(cfg.device_entry_store_gb * 1e9),
-                rel_bf16=cfg.dtype == "bfloat16")
+                rel_bf16=cfg.dtype == "bfloat16", mesh=mesh)
+            if mesh is not None:
+                logger.info(f"device entry store sharded over data={data_par}"
+                            f" (per-chip resident = bytes/{data_par})")
 
     def store_add(i, e):
         if union_provider is None:
