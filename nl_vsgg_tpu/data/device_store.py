@@ -154,6 +154,78 @@ class DeviceEntryStore:
         return jax.tree.map(
             lambda *xs: np.stack([np.asarray(x) for x in xs]), *entries)
 
+    def add_batch(self, video_indices, batch: Entry) -> bool:
+        """Adopt an ALREADY-UPLOADED batch as store rows — the cold-epoch
+        fast path: the training batch is on device anyway (place_entries /
+        the sharded place_batch), so retaining it costs a device-side
+        concat and ZERO extra host->device traffic (the add()+seal() path
+        re-uploads every row, which doubles cold-epoch link traffic on a
+        slow tunnel — VERDICT r4 #6). Rows land immediately (no seal
+        needed). Returns False (and stores nothing) on budget overflow or
+        when the batch's sharding does not match the store's mesh mode.
+        """
+        if self.overflow:
+            return False
+        B = len(video_indices)
+        leaves = jax.tree.leaves(batch)
+        if self.feats_bf16:
+            batch = batch.replace(
+                features=batch.features.astype(jnp.bfloat16))
+            leaves = jax.tree.leaves(batch)
+        nb = sum(l.nbytes for l in leaves)
+        if self.budget is not None and self._bytes + nb > self.budget:
+            self.overflow = True
+            return False
+        key = tuple(np.shape(getattr(batch, f.name))[1:]
+                    for f in dataclasses.fields(Entry))
+        if self.mesh is None:
+            if key in self._stores:
+                old = self._stores[key]
+                offset = int(np.shape(old.boxes)[0])
+                self._stores[key] = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b]), old, batch)
+            else:
+                offset = 0
+                self._stores[key] = batch
+            for r, vid in enumerate(video_indices):
+                self._row_of[int(vid)] = (key, offset + r)
+            self._bytes += nb
+            return True
+        # mesh mode: adopt each device's local block as that shard's rows
+        if B % self.D:
+            return False
+        if not all(hasattr(l, "sharding")
+                   and l.sharding.is_equivalent_to(self._sharding, l.ndim)
+                   for l in leaves):
+            return False  # not P('data')-sharded: caller streams
+        per = B // self.D
+
+        def local(leaf, dev):
+            for s in leaf.addressable_shards:
+                if s.device == dev:
+                    return s.data
+            raise ValueError(f"no shard of {leaf.shape} on {dev}")
+
+        bufs = self._bufs.setdefault(key, {})
+        nrows = self._nrows.setdefault(key, [0] * self.D)
+        for d in range(self.D):
+            news = [jax.tree.map(lambda a, dev=dev: local(a, dev), batch)
+                    for dev in self._shard_devs[d]]
+            if d in bufs:
+                bufs[d] = [jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b]), old, new)
+                    for old, new in zip(bufs[d], news)]
+            else:
+                bufs[d] = news
+        for pos, vid in enumerate(video_indices):
+            d = pos // per
+            self._row_of[int(vid)] = (key, d, nrows[d] + pos % per)
+        for d in range(self.D):
+            nrows[d] += per
+        self._assembled.pop(key, None)
+        self._bytes += nb
+        return True
+
     def seal(self) -> None:
         """Stack pending entries per bucket and place them on device."""
         if self.mesh is not None:

@@ -93,6 +93,67 @@ def test_budget_overflow_stops_adds(rng):
     assert store.gather([0, 2]) is None
 
 
+def test_add_batch_adopts_uploaded_batch(rng):
+    """Cold-epoch fast path: the already-on-device batch becomes store rows
+    with no re-upload; later gathers mix add_batch and add/seal rows."""
+    es = _entries(rng, 6)
+    store = DeviceEntryStore()
+    b0 = place_entries(es[:3])
+    assert store.add_batch([0, 1, 2], b0)
+    b1 = place_entries(es[3:5])
+    assert store.add_batch([3, 4], b1)
+    store.add(5, es[5])
+    store.seal()
+    got = store.gather([4, 0, 5])
+    want = place_entries([es[4], es[0], es[5]])
+    for f in dataclasses.fields(Entry):
+        np.testing.assert_array_equal(np.asarray(getattr(got, f.name)),
+                                      np.asarray(getattr(want, f.name)),
+                                      err_msg=f.name)
+
+
+def test_add_batch_respects_budget(rng):
+    import jax
+
+    es = _entries(rng, 4)
+    b = place_entries(es[:2])
+    per = sum(l.nbytes for l in jax.tree.leaves(b))
+    store = DeviceEntryStore(budget_bytes=int(per * 1.5))
+    assert store.add_batch([0, 1], b)
+    assert not store.add_batch([2, 3], place_entries(es[2:4]))
+    assert store.overflow
+    assert store.gather([0, 1]) is not None
+
+
+def test_add_batch_sharded_matches_dense(rng):
+    """Mesh mode: a P('data')-sharded batch is adopted shard-locally; an
+    unsharded batch is refused (caller streams)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    es = _entries(rng, 8)
+    mesh = _mesh(4)
+    store = DeviceEntryStore(mesh=mesh)
+    sh = NamedSharding(mesh, P("data"))
+    b0 = jax.tree.map(lambda x: jax.device_put(x, sh), place_entries(es[:4]))
+    b1 = jax.tree.map(lambda x: jax.device_put(x, sh), place_entries(es[4:]))
+    assert store.add_batch([0, 1, 2, 3], b0)
+    assert store.add_batch([4, 5, 6, 7], b1)
+    # position-block shard layout: [0,4,1,5,2,6,3,7] is the balanced order
+    batches, misses = store.plan_batches(list(range(8)), 8)
+    assert len(batches) == 1 and not misses
+    got = store.gather(batches[0])
+    want = place_entries([es[i] for i in batches[0]])
+    for f in dataclasses.fields(Entry):
+        np.testing.assert_array_equal(np.asarray(getattr(got, f.name)),
+                                      np.asarray(getattr(want, f.name)),
+                                      err_msg=f.name)
+    # unsharded batch: refused, nothing recorded
+    store2 = DeviceEntryStore(mesh=mesh)
+    assert not store2.add_batch([0, 1, 2, 3], place_entries(es[:4]))
+    assert store2.gather([0, 1, 2, 3]) is None
+
+
 def _mesh(data, model=1):
     import jax
 

@@ -683,12 +683,6 @@ def run_training(cfg, args, build_model_fn):
                 logger.info(f"device entry store sharded over data={data_par}"
                             f" (per-chip resident = bytes/{data_par})")
 
-    def store_add(i, e):
-        if union_provider is None:
-            uf0 = np.zeros(np.shape(e.union_feat)[:-1] + (0,), np.float32)
-            e = e.replace(union_feat=uf0)
-        entry_store.add(int(i), e)
-
     # resume continues the step counter (metrics.jsonl keys stay unique and
     # the per-step dropout keys don't replay epoch 0's sequence)
     global_step = int(jax.device_get(state.step))
@@ -743,11 +737,15 @@ def run_training(cfg, args, build_model_fn):
                                               zero_union=union_provider is None,
                                               rel_bf16=cfg.dtype == "bfloat16")
                         batch = place_batch(batch)
-                    if entry_store is not None and not entry_store.overflow:
+                    if entry_store is not None and not entry_store.overflow \
+                            and len(bucket_entries) == int(
+                                batch.num_frames.shape[0]):
+                        # adopt the uploaded batch as store rows: device-side
+                        # concat, no second upload (padded short batches are
+                        # skipped — their fill rows must not become gatherable)
                         with timer("store_build"):
-                            for i, e in payload:
-                                store_add(i, e)
-                            entry_store.seal()  # overlaps the queued step
+                            entry_store.add_batch(
+                                [i for i, _ in payload], batch)
                     yield len(bucket_entries), batch
                 if entry_store is not None and (n_stored_batches
                                                 or entry_store.overflow):
