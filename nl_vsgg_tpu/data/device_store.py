@@ -317,7 +317,11 @@ class DeviceEntryStore:
     def rows_for(self, indices) -> tuple[tuple, np.ndarray] | None:
         """Map video indices to (bucket_key, row array) — None unless ALL
         indices live in the store AND share one bucket (a place_entries
-        batch is same-bucket by construction, data/pipeline.bucket_batches)."""
+        batch is same-bucket by construction, data/pipeline.bucket_batches).
+        Non-mesh stores only (mesh rows carry a shard coordinate — use
+        gather/plan_batches)."""
+        if self.mesh is not None:
+            return None
         rows, keys = [], set()
         for i in indices:
             hit = self._row_of.get(int(i))
