@@ -35,6 +35,10 @@ def main():
     p.add_argument("--batches", default="64,128,256")
     p.add_argument("--families", default="sttran,dsg")
     p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--oom_backoff", type=float, default=45.0,
+                   help="seconds to sleep after a timed round fails with "
+                        "RESOURCE_EXHAUSTED (co-tenants on the shared chip "
+                        "come and go; an immediate retry usually re-fails)")
     p.add_argument("--remat_batches", default="",
                    help="comma batch sizes to ALSO try with remat=True "
                         "(sttran only) — the fallback when a plain big "
@@ -88,8 +92,8 @@ def main():
             spatial_masks=host.spatial_masks.astype(ml_dtypes.bfloat16))
         return jax.tree.map(jnp.asarray, host)
 
-    batches = [int(b) for b in args.batches.split(",")]
-    families = args.families.split(",")
+    batches = [int(b) for b in args.batches.split(",") if b]
+    families = [f for f in args.families.split(",") if f]
 
     K = 3
     remat_batches = [int(b) for b in args.remat_batches.split(",") if b]
@@ -156,7 +160,7 @@ def main():
                     .lower(state, batch).compile()
                     .cost_analysis()["flops"])
                 # scale iters down for big batches: comparable timed windows
-                N = max(2, args.iters * batches[0] // B)
+                N = max(2, args.iters * min(batches + remat_batches) // B)
                 f1, fk = chained_fn(N), chained_fn(K * N)
                 float(f1(state, batch)), float(fk(state, batch))
             except Exception as e:  # RESOURCE_EXHAUSTED on the 16 GB HBM
@@ -173,6 +177,15 @@ def main():
                   f"({flops / 1e12:.2f} TFLOP/call)", flush=True)
             variants.append((name, B, N, flops, f1, fk, state, batch))
 
+    # free every cached device batch no SURVIVING variant references (a B
+    # whose every variant failed — state init, alloc, or compile — would
+    # otherwise stay resident through the timing rounds; the retained 5 GB
+    # b256 batch OOMed every timed step of the first round-5 run)
+    live_Bs = {B for _, B, *_ in variants}
+    for B in list(batch_by_B):
+        if B not in live_Bs:
+            del batch_by_B[B]
+
     from tools.bench_suite import timed
     best = {name: float("inf") for name, *_ in variants}
     for r in range(args.rounds):
@@ -183,6 +196,8 @@ def main():
             except Exception as e:
                 print(f"# round {r} {name}: {type(e).__name__}: "
                       f"{str(e)[:120]}", flush=True)
+                if "RESOURCE_EXHAUSTED" in str(e) and args.oom_backoff:
+                    time.sleep(args.oom_backoff)
                 continue
             if dk - d1 <= 0.1 * dk:
                 print(f"# round {r} {name}: unstable pair "
