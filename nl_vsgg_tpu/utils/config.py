@@ -98,7 +98,10 @@ class Config:
     dtype: str = "float32"  # compute dtype: float32 | bfloat16 (params stay fp32)
     grad_clip_norm: float = 5.0  # tools/train_STTran.py:193
     weight_decay: float = 1e-2  # lib/AdamW.py default
-    batch_videos: int = 1  # videos per step per device (reference: 1 total)
+    batch_videos: int = 1  # videos per step per device (reference: 1 total).
+    # Production value: 64 (configs/nl_vsgg_config.yml) — the measured
+    # single-chip optimum of the MFU-vs-batch curve (BASELINE.md r5:
+    # b64 > b128 by ~2 MFU pts for both families; b256 infeasible).
     frame_features_path: str = "datasets/AG/frame_features"
     frames_path: str = ""  # raw frame images root ("" -> <data_path>/frames);
     # needed when union_box_feature is true (ref assign_pseudo_label.py:1323)
