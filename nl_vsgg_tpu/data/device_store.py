@@ -44,6 +44,7 @@ test_device_store.py), modulo an explicit opt-in bf16 cast of `features`
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -79,7 +80,13 @@ class DeviceEntryStore:
         self.mesh = mesh if mesh is not None and mesh.shape["data"] > 1 \
             else None
         self._pending: dict[tuple, list[tuple[int, Entry]]] = {}
-        self._stores: dict[tuple, Entry] = {}
+        # appended CHUNKS per bucket, collapsed into one array lazily at
+        # gather time: eager per-append jnp.concatenate would trigger one
+        # (remote) compile per new shape per leaf — measured 35 s of the
+        # cold train_e2e epoch before this design; the lazy single jitted
+        # concat is one compile for the whole Entry
+        self._chunks: dict[tuple, list[Entry]] = {}
+        self._n: dict[tuple, int] = {}  # rows per bucket (non-mesh)
         # non-mesh: vid -> (bucket, row); mesh: vid -> (bucket, shard, row)
         self._row_of: dict[int, tuple] = {}
         self._bytes = 0
@@ -96,9 +103,11 @@ class DeviceEntryStore:
             self._shard_devs = [list(grid[d]) for d in range(self.D)]
             self._counts: dict[tuple, int] = {}       # round-robin cursor
             self._shard_of: dict[int, int] = {}       # pending vid -> shard
-            # raw (unpadded) per-shard buffers: key -> shard -> Entry list
-            # of committed single-device arrays, one per model replica
-            self._bufs: dict[tuple, dict[int, list[Entry]]] = {}
+            # raw (unpadded) per-shard chunk buffers: key -> shard ->
+            # per-model-replica LIST OF CHUNKS of committed single-device
+            # arrays (chunks collapse lazily in _assemble, same reason as
+            # self._chunks above)
+            self._bufs: dict[tuple, dict[int, list[list[Entry]]]] = {}
             self._nrows: dict[tuple, list[int]] = {}  # key -> per-shard rows
             self._assembled: dict[tuple, Entry] = {}
             self._sharding = NamedSharding(self.mesh, P("data"))
@@ -179,14 +188,9 @@ class DeviceEntryStore:
         key = tuple(np.shape(getattr(batch, f.name))[1:]
                     for f in dataclasses.fields(Entry))
         if self.mesh is None:
-            if key in self._stores:
-                old = self._stores[key]
-                offset = int(np.shape(old.boxes)[0])
-                self._stores[key] = jax.tree.map(
-                    lambda a, b: jnp.concatenate([a, b]), old, batch)
-            else:
-                offset = 0
-                self._stores[key] = batch
+            offset = self._n.get(key, 0)
+            self._chunks.setdefault(key, []).append(batch)
+            self._n[key] = offset + B
             for r, vid in enumerate(video_indices):
                 self._row_of[int(vid)] = (key, offset + r)
             self._bytes += nb
@@ -212,11 +216,10 @@ class DeviceEntryStore:
             news = [jax.tree.map(lambda a, dev=dev: local(a, dev), batch)
                     for dev in self._shard_devs[d]]
             if d in bufs:
-                bufs[d] = [jax.tree.map(
-                    lambda a, b: jnp.concatenate([a, b]), old, new)
-                    for old, new in zip(bufs[d], news)]
+                for rlist, new in zip(bufs[d], news):
+                    rlist.append(new)
             else:
-                bufs[d] = news
+                bufs[d] = [[new] for new in news]
         for pos, vid in enumerate(video_indices):
             d = pos // per
             self._row_of[int(vid)] = (key, d, nrows[d] + pos % per)
@@ -227,20 +230,16 @@ class DeviceEntryStore:
         return True
 
     def seal(self) -> None:
-        """Stack pending entries per bucket and place them on device."""
+        """Stack pending entries per bucket and place them on device (as a
+        new chunk; chunks collapse lazily at the next gather)."""
         if self.mesh is not None:
             return self._seal_sharded()
         for key, items in self._pending.items():
             host = self._cast(self._stack([e for _, e in items]))
             dev = jax.tree.map(jnp.asarray, host)
-            if key in self._stores:
-                old = self._stores[key]
-                offset = int(np.shape(old.boxes)[0])
-                dev = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
-                                   old, dev)
-            else:
-                offset = 0
-            self._stores[key] = dev
+            offset = self._n.get(key, 0)
+            self._chunks.setdefault(key, []).append(dev)
+            self._n[key] = offset + len(items)
             for r, (vid, _) in enumerate(items):
                 self._row_of[vid] = (key, offset + r)
         self._pending.clear()
@@ -265,12 +264,10 @@ class DeviceEntryStore:
                     lambda a, dev=dev: jax.device_put(a, dev), host)
                     for dev in self._shard_devs[d]]
                 if d in bufs:
-                    # committed inputs pin the concat to the shard's device
-                    bufs[d] = [jax.tree.map(
-                        lambda a, b: jnp.concatenate([a, b]), old, new)
-                        for old, new in zip(bufs[d], news)]
+                    for rlist, new in zip(bufs[d], news):
+                        rlist.append(new)
                 else:
-                    bufs[d] = news
+                    bufs[d] = [[new] for new in news]
                 for r, (vid, _) in enumerate(shard_items):
                     self._row_of[vid] = (key, d, nrows[d] + r)
                 nrows[d] += len(shard_items)
@@ -289,20 +286,24 @@ class DeviceEntryStore:
             return None  # some shard empty: plan_batches never lands here
         L = max(self._nrows[key])
 
-        def pad(a, n):
-            if n == L:
-                return a
-            z = jnp.zeros((L - n,) + a.shape[1:], a.dtype)
-            return jnp.concatenate([a, z])
-
         def stitch(*leaves):
             shape = (self.D * L,) + leaves[0].shape[1:]
             return jax.make_array_from_single_device_arrays(
                 shape, self._sharding, list(leaves))
 
-        padded = [jax.tree.map(lambda a, n=self._nrows[key][d]: pad(a, n),
-                               rep)
-                  for d in range(self.D) for rep in bufs[d]]
+        padded = []
+        for d in range(self.D):
+            n = self._nrows[key][d]
+            for r in range(len(bufs[d])):
+                chunks = bufs[d][r]
+                if len(chunks) > 1:
+                    # one jitted collapse per (chunk shapes, device); the
+                    # committed inputs pin it to the shard's own device
+                    chunks = bufs[d][r] = [_concat_chunks(*chunks)]
+                ent = chunks[0]
+                if n < L:
+                    ent = _pad_to(L, ent)
+                padded.append(ent)
         out = jax.tree.map(stitch, *padded)
         self._assembled[key] = out
         return out
@@ -402,7 +403,10 @@ class DeviceEntryStore:
         if hit is None:
             return None
         key, rows = hit
-        return _gather_jit(self._stores[key], jnp.asarray(rows))
+        chunks = self._chunks[key]
+        if len(chunks) > 1:  # collapse once; cached until the next append
+            chunks = self._chunks[key] = [_concat_chunks(*chunks)]
+        return _gather_jit(chunks[0], jnp.asarray(rows))
 
     def _gather_sharded(self, indices) -> Entry | None:
         B = len(indices)
@@ -432,3 +436,18 @@ class DeviceEntryStore:
 @jax.jit
 def _gather_jit(store: Entry, rows: jnp.ndarray) -> Entry:
     return jax.tree.map(lambda a: jnp.take(a, rows, axis=0), store)
+
+
+@jax.jit
+def _concat_chunks(*chunks: Entry) -> Entry:
+    """Collapse appended chunks in ONE compiled program (eager per-append
+    concatenation compiles a fresh shape per leaf per append through the
+    platform's remote compiler — measured 35 s of a cold train_e2e epoch)."""
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _pad_to(L: int, ent: Entry) -> Entry:
+    return jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((L - a.shape[0],) + a.shape[1:], a.dtype)]), ent)
