@@ -24,6 +24,14 @@ Numerics are the flax modules' math re-expressed functionally (MaskedMHA /
 MaskedEncoderLayer / MaskedDecoderLayer in models/layers.py); the
 sharded-vs-dense parity test runs both on the same trained weights
 (tests/test_sttran_sp.py).
+
+Scope: a FORWARD (inference-path) implementation, like
+parallel/dsg_detr_sp.py — "production" refers to the module/parameters it
+runs, not the training step. Training parallelism is data-parallel over
+videos (parallel/mesh.py; at AG scale — tens of frames, 2-frame windows —
+the video axis dominates and the frame axis stays local). shard_map is
+differentiable, so extending either to the backward is mechanical if a
+single video ever exceeds one chip.
 """
 
 from __future__ import annotations

@@ -13,6 +13,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -72,16 +73,21 @@ def _run_job(mode: str, tmp_path, nproc: int, devices_per_proc: int,
             logs.append(stdout.decode("utf-8", "replace"))
         # A genuine crash in one worker makes its SIBLINGS fail with the
         # Gloo DEADLINE_EXCEEDED signature too — only retry when EVERY
-        # failed worker shows the rendezvous signature (pure flake); a mixed
-        # failure surfaces immediately with the real crash log.
+        # failed worker shows a rendezvous-timeout signature (pure flake); a
+        # mixed failure surfaces immediately with the real crash log. The
+        # signature is phrased differently per phase ("Gloo context
+        # initialization failed", "GetKeyValue() timed out", connectFullMesh
+        # timeouts), hence the loose match on Gloo + a timeout marker.
         failed = [pid for pid, p in enumerate(procs) if p.returncode != 0]
         rendezvous_flake = failed and all(
-            "Gloo context initialization failed" in logs[pid]
-            and "DEADLINE_EXCEEDED" in logs[pid]
+            ("Gloo" in logs[pid] or "GetKeyValue" in logs[pid])
+            and ("DEADLINE_EXCEEDED" in logs[pid]
+                 or "timed out" in logs[pid])
             for pid in failed)
         if rendezvous_flake and attempt == 0:
             prior_logs = [f"--- attempt 0, worker {pid} ---\n{logs[pid][-1500:]}"
                           for pid in failed]
+            time.sleep(10)  # xdist-sibling contention is transient
             continue
         for pid, p in enumerate(procs):
             assert p.returncode == 0, (
