@@ -71,15 +71,15 @@ def _run_job(mode: str, tmp_path, nproc: int, devices_per_proc: int,
         for p in procs:
             stdout, _ = p.communicate(timeout=timeout)
             logs.append(stdout.decode("utf-8", "replace"))
-        # A genuine crash in one worker makes its SIBLINGS fail with the
-        # Gloo DEADLINE_EXCEEDED signature too — only retry when EVERY
-        # failed worker shows a rendezvous-timeout signature (pure flake); a
-        # mixed failure surfaces immediately with the real crash log. The
-        # signature is phrased differently per phase ("Gloo context
-        # initialization failed", "GetKeyValue() timed out", connectFullMesh
-        # timeouts), hence the loose match on Gloo + a timeout marker.
+        # Retry when ANY failed worker shows a rendezvous-timeout signature
+        # (phrased differently per phase: "Gloo context initialization
+        # failed", "GetKeyValue() timed out", connectFullMesh timeouts) —
+        # the peer of a stalled worker dies with its own, differently-worded
+        # error. A genuine crash still surfaces after the single bounded
+        # retry WITH the attempt-0 logs preserved in the assertion message,
+        # so no evidence is lost to the retry (advisor r4).
         failed = [pid for pid, p in enumerate(procs) if p.returncode != 0]
-        rendezvous_flake = failed and all(
+        rendezvous_flake = failed and any(
             ("Gloo" in logs[pid] or "GetKeyValue" in logs[pid])
             and ("DEADLINE_EXCEEDED" in logs[pid]
                  or "timed out" in logs[pid])
@@ -89,10 +89,9 @@ def _run_job(mode: str, tmp_path, nproc: int, devices_per_proc: int,
                           for pid in failed]
             time.sleep(10)  # xdist-sibling contention is transient
             continue
-        for pid, p in enumerate(procs):
-            assert p.returncode == 0, (
-                f"worker {pid} rc={p.returncode}\n{logs[pid][-3000:]}"
-                + ("\n" + "\n".join(prior_logs) if prior_logs else ""))
+        assert not failed, "\n".join(
+            [f"worker {pid} rc={procs[pid].returncode}\n{logs[pid][-3000:]}"
+             for pid in failed] + prior_logs)
         return [json.load(open(o)) for o in outs]
 
 
