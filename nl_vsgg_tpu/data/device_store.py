@@ -225,6 +225,10 @@ class DeviceEntryStore:
             self._row_of[int(vid)] = (key, d, nrows[d] + pos % per)
         for d in range(self.D):
             nrows[d] += per
+        # keep add()'s round-robin cursor in step so MIXING add_batch with
+        # add()+seal() on one bucket stays shard-balanced (B is a multiple
+        # of D, so the cursor's phase is unchanged)
+        self._counts[key] = self._counts.get(key, 0) + B
         self._assembled.pop(key, None)
         self._bytes += nb
         return True

@@ -154,6 +154,32 @@ def test_add_batch_sharded_matches_dense(rng):
     assert store2.gather([0, 1, 2, 3]) is None
 
 
+def test_sharded_mixed_add_paths_stay_balanced(rng):
+    """add_batch bumps add()'s round-robin cursor: mixing the two fill
+    paths on one bucket keeps shards balanced and gathers exact."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    es = _entries(rng, 12)
+    mesh = _mesh(4)
+    store = DeviceEntryStore(mesh=mesh)
+    sh = NamedSharding(mesh, P("data"))
+    b0 = jax.tree.map(lambda x: jax.device_put(x, sh), place_entries(es[:4]))
+    assert store.add_batch([0, 1, 2, 3], b0)
+    for i in range(4, 12):
+        assert store.add(i, es[i])
+    store.seal()
+    batches, misses = store.plan_batches(list(range(12)), 4)
+    assert len(batches) == 3 and not misses  # balanced: every video lands
+    for b in batches:
+        got = store.gather(b)
+        want = place_entries([es[i] for i in b])
+        np.testing.assert_array_equal(np.asarray(got.features),
+                                      np.asarray(want.features))
+        np.testing.assert_array_equal(np.asarray(got.boxes),
+                                      np.asarray(want.boxes))
+
+
 def _mesh(data, model=1):
     import jax
 
