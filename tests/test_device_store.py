@@ -112,6 +112,21 @@ def test_add_batch_adopts_uploaded_batch(rng):
                                       err_msg=f.name)
 
 
+def test_many_chunks_tree_collapse(rng):
+    """>16 appended chunks collapse through the bounded tree reduction
+    without changing gather semantics."""
+    es = _entries(rng, 18)
+    store = DeviceEntryStore()
+    for i, e in enumerate(es):
+        store.add_batch([i], place_entries([e]))
+    got = store.gather([17, 0, 9])
+    want = place_entries([es[17], es[0], es[9]])
+    np.testing.assert_array_equal(np.asarray(got.features),
+                                  np.asarray(want.features))
+    np.testing.assert_array_equal(np.asarray(got.labels),
+                                  np.asarray(want.labels))
+
+
 def test_add_batch_respects_budget(rng):
     import jax
 
