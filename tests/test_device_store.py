@@ -112,6 +112,17 @@ def test_add_batch_adopts_uploaded_batch(rng):
                                       err_msg=f.name)
 
 
+def test_add_batch_feats_bf16_casts_on_device(rng):
+    es = _entries(rng, 2)
+    store = DeviceEntryStore(feats_bf16=True)
+    assert store.add_batch([0, 1], place_entries(es))
+    got = store.gather([0, 1])
+    assert got.features.dtype == jnp.bfloat16
+    want = np.stack([np.asarray(e.features) for e in es]).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got.features, np.float32),
+                                  want.astype(np.float32))
+
+
 def test_many_chunks_tree_collapse(rng):
     """>16 appended chunks collapse through the bounded tree reduction
     without changing gather semantics."""

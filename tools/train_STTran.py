@@ -716,6 +716,9 @@ def run_training(cfg, args, build_model_fn):
                     for idxs in stored:  # HBM-to-HBM: indices only
                         with timer("store_gather"):
                             batch = entry_store.gather(idxs)
+                        if batch is None:  # defensive: plan/store drift ->
+                            stream_order.extend(idxs)  # stream, don't crash
+                            continue
                         n_stored_batches += 1
                         yield len(idxs), batch
                 from nl_vsgg_tpu.data import bucket_events
