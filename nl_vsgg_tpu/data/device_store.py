@@ -33,6 +33,23 @@ which is what lets the store hold splits D× larger than one chip's HBM.
 Parameters sharded over 'model' are orthogonal: the store replicates each
 shard across the model axis, same as the batch itself.
 
+Multi-controller (jax.process_count() > 1): the same design runs SPMD.
+Every process records IDENTICAL bookkeeping — `add_batch` is called with
+the same deterministic global batches on every process (the
+DistributedBatcher composition is a pure function of the shared epoch
+order) — but materializes buffers only for its own devices' shards.
+Assembly passes exactly the addressable shards to
+`make_array_from_single_device_arrays` (the standard multi-host global-
+Array construction), the jitted shard_map gather is an ordinary SPMD
+program, and the row vector ships via `make_array_from_callback`. Warm
+epochs therefore run from HBM on every host with zero grounding, zero disk
+and zero host->device traffic beyond the row indices; per-video `add()` is
+refused in this mode (its round-robin cursor would diverge across
+processes). Failed-grounding slots are adopted as the batcher's zero slots
+and stay inert under the valid-weighted train step — identical semantics
+to every cold epoch (tests/test_distributed.py::
+test_two_process_device_store and the store-enabled 2-process CLI test).
+
 `budget_bytes` caps the store; when the split does not fit, callers fall
 back to streaming uploads (place_entries) — the store is a cache tier, not
 a correctness dependency. Gather semantics are exact: the gathered batch is
@@ -101,6 +118,18 @@ class DeviceEntryStore:
             grid = np.moveaxis(self.mesh.devices,
                                axes.index("data"), 0).reshape(self.D, self.M)
             self._shard_devs = [list(grid[d]) for d in range(self.D)]
+            # multi-controller: every process records IDENTICAL bookkeeping
+            # (adoption order is deterministic), but materializes buffers
+            # only for the shards whose devices it owns; gathers and
+            # assembly then follow the standard SPMD pattern (shard_map jit
+            # + make_array_from_single_device_arrays over addressable
+            # shards only)
+            me = jax.process_index()
+            self._local_devs_of = [
+                [dev for dev in self._shard_devs[d]
+                 if dev.process_index == me] for d in range(self.D)]
+            self._local_shards = {d for d in range(self.D)
+                                  if self._local_devs_of[d]}
             self._counts: dict[tuple, int] = {}       # round-robin cursor
             self._shard_of: dict[int, int] = {}       # pending vid -> shard
             # raw (unpadded) per-shard chunk buffers: key -> shard ->
@@ -131,7 +160,15 @@ class DeviceEntryStore:
 
     def add(self, video_idx: int, e: Entry) -> bool:
         """Queue one host Entry. Returns False (and stores nothing further)
-        once the byte budget is exceeded — the epoch loop keeps streaming."""
+        once the byte budget is exceeded — the epoch loop keeps streaming.
+
+        Single-controller only: in a multi-process run the store's
+        bookkeeping must be identical on every process, which only
+        `add_batch` over the deterministic global batches guarantees."""
+        if self.mesh is not None and jax.process_count() > 1:
+            raise NotImplementedError(
+                "per-video add() diverges across processes; multi-controller "
+                "stores fill via add_batch over the global batches")
         if self.overflow:
             return False
         nb = self._entry_bytes(e)
@@ -212,9 +249,11 @@ class DeviceEntryStore:
 
         bufs = self._bufs.setdefault(key, {})
         nrows = self._nrows.setdefault(key, [0] * self.D)
-        for d in range(self.D):
+        for d in sorted(self._local_shards):
+            # only this process's devices hold data; remote shards are
+            # bookkept (below) but never materialized here
             news = [jax.tree.map(lambda a, dev=dev: local(a, dev), batch)
-                    for dev in self._shard_devs[d]]
+                    for dev in self._local_devs_of[d]]
             if d in bufs:
                 for rlist, new in zip(bufs[d], news):
                     rlist.append(new)
@@ -266,7 +305,7 @@ class DeviceEntryStore:
                 host = self._cast(self._stack([e for _, e in shard_items]))
                 news = [jax.tree.map(
                     lambda a, dev=dev: jax.device_put(a, dev), host)
-                    for dev in self._shard_devs[d]]
+                    for dev in self._local_devs_of[d]]
                 if d in bufs:
                     for rlist, new in zip(bufs[d], news):
                         rlist.append(new)
@@ -286,17 +325,22 @@ class DeviceEntryStore:
         if got is not None:
             return got
         bufs = self._bufs.get(key)
-        if bufs is None or len(bufs) != self.D:
+        nrows = self._nrows.get(key)
+        if bufs is None or nrows is None or 0 in nrows \
+                or not self._local_shards <= set(bufs):
             return None  # some shard empty: plan_batches never lands here
-        L = max(self._nrows[key])
+        L = max(nrows)
 
         def stitch(*leaves):
+            # arrays for the ADDRESSABLE shards only — the standard
+            # multi-controller global-Array construction (each process
+            # supplies its own devices' blocks)
             shape = (self.D * L,) + leaves[0].shape[1:]
             return jax.make_array_from_single_device_arrays(
                 shape, self._sharding, list(leaves))
 
         padded = []
-        for d in range(self.D):
+        for d in sorted(self._local_shards):
             n = self._nrows[key][d]
             for r in range(len(bufs[d])):
                 chunks = bufs[d][r]
@@ -433,7 +477,13 @@ class DeviceEntryStore:
         store = self._assemble(next(iter(keys)))
         if store is None:
             return None
-        rows_dev = jax.device_put(rows, self._sharding)
+        if jax.process_count() > 1:
+            # every process computed the SAME global rows vector; each
+            # materializes its addressable blocks of it
+            rows_dev = jax.make_array_from_callback(
+                (B,), self._sharding, lambda idx: rows[idx])
+        else:
+            rows_dev = jax.device_put(rows, self._sharding)
         return self._gather_fn(store, rows_dev)
 
 

@@ -162,7 +162,10 @@ class DistributedBatcher:
                  order: Sequence[int], batch_videos: int, mesh,
                  feat_dim: int = 2048, zero_union: bool = False,
                  rel_bf16: bool = False, num_workers: int = 4,
-                 device_masks: bool = False):
+                 device_masks: bool = False, yield_indices: bool = False):
+        # yield_indices=True yields (global_index_block, Entry) instead of
+        # Entry — the device-store adoption path needs the composition
+        self.yield_indices = yield_indices
         self.ground_fn = ground_fn
         self.order = list(order)
         self.B = batch_videos
@@ -197,10 +200,11 @@ class DistributedBatcher:
         # Fixed blocks up front; the ragged tail (< B videos) is dropped: its
         # composition would need a second set of compiled shapes per bucket,
         # and the epoch order reshuffles per epoch so no video is starved.
-        blocks = []
+        blocks, chunks = [], []
         for t0 in range(0, len(self.order), self.B):
             chunk = self.order[t0:t0 + self.B]
             if len(chunk) == self.B:
+                chunks.append(chunk)
                 blocks.append(
                     chunk[self.pid * self.per_proc:(self.pid + 1) * self.per_proc])
 
@@ -266,4 +270,5 @@ class DistributedBatcher:
 
                 kw = {f.name: to_global(f.name, getattr(host, f.name))
                       for f in dataclasses.fields(Entry)}
-                yield Entry(**kw)
+                out = Entry(**kw)
+                yield (chunks[t], out) if self.yield_indices else out

@@ -183,11 +183,12 @@ class Config:
     # streams + fills it, later epochs gather batches HBM-to-HBM from the
     # shuffled indices alone — no host grounding, no per-batch upload.
     # Batches are bit-identical to the streamed path (tests/
-    # test_device_store.py). Under a single-process mesh the store shards
-    # each bucket over the 'data' axis and gathers device-locally (per-chip
-    # resident = bytes/data_par); multi-process (multi-controller) runs use
-    # the DistributedBatcher path instead and ignore this knob. Overflow
-    # falls back to streaming for the remainder.
+    # test_device_store.py). Under a mesh the store shards each bucket over
+    # the 'data' axis and gathers device-locally (per-chip resident =
+    # bytes/data_par) — including multi-controller runs, where cold epochs
+    # adopt the DistributedBatcher's global batches and warm epochs gather
+    # SPMD (identical bookkeeping on every process; device_store.py).
+    # Overflow falls back to streaming for the remainder.
     prng_impl: str = "rbg"  # PRNG for training randomness (dropout / label
     # sampling): "rbg" is ~16% faster per train step on TPU than jax's
     # default threefry2x32 (measured: 120 -> 101 ms at batch 64); both are

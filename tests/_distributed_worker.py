@@ -110,10 +110,75 @@ def mode_train(out_path: str) -> None:
                "losses": losses, "digest": digest}, open(out_path, "w"))
 
 
+def mode_store(out_path: str) -> None:
+    """Multi-controller device entry store: cold adoption of the batcher's
+    global batches (add_batch), identical shard-balanced plan on every
+    process, warm SPMD gathers whose values equal the host-side expectation
+    — and a real train step consuming a gathered batch."""
+    import jax.numpy as jnp
+
+    from nl_vsgg_tpu.data.device_store import DeviceEntryStore
+    from nl_vsgg_tpu.data.synthetic import make_synthetic_entry
+    from nl_vsgg_tpu.models.sttran import STTran
+    from nl_vsgg_tpu.parallel.mesh import make_mesh, shard_state
+    from nl_vsgg_tpu.train import (create_train_state, make_optimizer,
+                                   make_train_step)
+
+    es = [make_synthetic_entry(np.random.default_rng(200 + i), n_frames=3,
+                               objs_per_frame=2, bucket_boxes=16,
+                               bucket_rels=16, feat_dim=32) for i in range(8)]
+    ground = lambda i: None if i == 5 else es[i]  # one failed slot
+    mesh = make_mesh(data=jax.device_count(), model=1)
+    store = DeviceEntryStore(mesh=mesh)
+    batcher = DistributedBatcher(ground, list(range(8)), 4, mesh, feat_dim=32,
+                                 yield_indices=True)
+    for chunk, b in batcher:
+        assert store.add_batch(chunk, b), chunk
+
+    order = [6, 1, 4, 3, 0, 7, 5, 2]  # same warm shuffle on every process
+    batches, misses = store.plan_batches(order, 4)
+    assert not misses and len(batches) == 2, (batches, misses)
+
+    digest_fn = jax.jit(lambda e: sum(
+        jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(e)))
+
+    def host_digest(idxs):
+        tot = 0.0
+        for i in idxs:
+            if ground(i) is None:
+                continue  # adopted as an inert zero slot
+            tot += sum(float(np.asarray(x, np.float64).sum())
+                       for x in jax.tree.leaves(es[i]))
+        return tot
+
+    digests, expected = [], []
+    gathered = []
+    for idxs in batches:
+        g = store.gather(idxs)
+        assert g is not None, idxs
+        gathered.append(g)
+        digests.append(float(digest_fn(g)))  # replicated scalar: fetchable
+        expected.append(host_digest(idxs))
+    np.testing.assert_allclose(digests, expected, rtol=1e-4)
+
+    model = STTran(mode="sgdet", feat_dim=32, enc_layer_num=1, dec_layer_num=1)
+    tx = make_optimizer(lr=1e-3)
+    state, tx = create_train_state(model, es[0], jax.random.key(0), tx=tx)
+    state = shard_state(mesh, state)
+    step = jax.jit(make_train_step(model, tx, bce=True))
+    state, m = step(state, gathered[0], jax.random.key(11))
+    loss = float(m["total"])
+    assert np.isfinite(loss)
+    json.dump({"pid": jax.process_index(), "nproc": jax.process_count(),
+               "plan": batches, "digests": digests, "loss": loss},
+              open(out_path, "w"))
+
+
 def main():
     init_distributed()
     mode, out_path = sys.argv[1], sys.argv[2]
-    {"gather": mode_gather, "train": mode_train}[mode](out_path)
+    {"gather": mode_gather, "train": mode_train,
+     "store": mode_store}[mode](out_path)
 
 
 if __name__ == "__main__":

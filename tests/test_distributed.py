@@ -167,9 +167,13 @@ def test_two_process_cli_training(tmp_path):
 
     ag = build_micro_ag(str(tmp_path), n_videos=4, n_frames=3, feat_dim=32)
     import yaml
-    cfg = {"mode": "sgdet", "lr": 1e-4, "nepoch": 1, "enc_layer": 1,
+    cfg = {"mode": "sgdet", "lr": 1e-4, "nepoch": 2, "enc_layer": 1,
            "dec_layer": 1, "feat_dim": 32, "bce_loss": True,
            "batch_videos": 2, "data_path": ag,
+           # r5: the device store composes with multi-controller runs —
+           # epoch 0 adopts the batcher's global batches, epoch 1 must be
+           # served by SPMD gathers (asserted on the primary's log below)
+           "device_entry_store_gb": 1.0,
            "pseudo_localized_SG_path": os.path.join(ag, "final_ag_data_w_neg.pkl"),
            "frame_features_path": os.path.join(ag, "frame_features"),
            "save_path": str(tmp_path / "out")}
@@ -203,12 +207,16 @@ def test_two_process_cli_training(tmp_path):
     for pid, p in enumerate(procs):
         assert p.returncode == 0, f"rank {pid} rc={p.returncode}\n{logs[pid][-4000:]}"
     # primary-only artifacts, written once
-    assert os.path.isdir(os.path.join(cfg["save_path"], "ckpt", "0"))
+    assert os.path.isdir(os.path.join(cfg["save_path"], "ckpt", "1"))
     assert os.path.isfile(os.path.join(cfg["save_path"], "metrics.jsonl"))
     recs = [json.loads(l) for l in open(
         os.path.join(cfg["save_path"], "metrics.jsonl"))]
     assert any("mean_r20" in r for r in recs)
     assert "distributed: process" in logs[0]
+    # warm epoch served from the multi-controller store
+    assert "device entry store sharded over data=2" in logs[0], logs[0][-3000:]
+    assert any("gathered batches" in ln and "device entry store: 0 " not in ln
+               for ln in logs[0].splitlines()), logs[0][-3000:]
 
 
 @pytest.mark.slow
@@ -225,6 +233,25 @@ def test_two_process_train_step_matches_single(tmp_path):
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(r["digest"], single["digest"],
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_device_store(tmp_path):
+    """Multi-controller device entry store (r5): both processes compute the
+    IDENTICAL shard-balanced plan, their SPMD gathers match the host-side
+    expectation (asserted inside the worker), and a gathered batch drives
+    the sharded train step — all equal to the single-process run of the
+    same harness."""
+    single = _run_job("store", tmp_path, nproc=1, devices_per_proc=4)[0]
+    double = _run_job("store", tmp_path, nproc=2, devices_per_proc=2)
+    for r in double:
+        assert r["nproc"] == 2
+        assert r["plan"] == single["plan"]
+        np.testing.assert_allclose(r["digests"], single["digests"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(r["loss"], single["loss"],
+                                   rtol=1e-5, atol=1e-6)
+    assert double[0]["plan"] == double[1]["plan"]
 
 
 @pytest.mark.slow

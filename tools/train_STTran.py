@@ -668,14 +668,16 @@ def run_training(cfg, args, build_model_fn):
     # place_entries (tests/test_device_store.py).
     entry_store = None
     if cfg.device_entry_store_gb:
-        if multiproc:
-            logger.warning("device_entry_store_gb is single-process only "
-                           "(multi-controller runs use DistributedBatcher); "
-                           "ignoring")
+        if multiproc and mesh is None:
+            logger.warning("device_entry_store_gb needs a mesh under "
+                           "multi-process runs; ignoring")
         else:
             from nl_vsgg_tpu.data.device_store import DeviceEntryStore
             # under a mesh the store shards each bucket over 'data' and
-            # gathered batches arrive pre-sharded P('data') — no place_batch
+            # gathered batches arrive pre-sharded P('data') — no place_batch.
+            # Multi-controller: every process records identical bookkeeping
+            # from the deterministic global batches (add_batch) and holds
+            # only its own devices' shards; warm gathers are SPMD.
             entry_store = DeviceEntryStore(
                 budget_bytes=int(cfg.device_entry_store_gb * 1e9),
                 rel_bf16=cfg.dtype == "bfloat16", mesh=mesh)
@@ -695,17 +697,49 @@ def run_training(cfg, args, build_model_fn):
         if multiproc:
             # fixed-composition global batches: every process grounds its
             # contiguous block of each batch and contributes it as the
-            # process-local shard of one global Entry (parallel/distributed)
+            # process-local shard of one global Entry (parallel/distributed).
+            # With the device store, warm epochs gather stored batches SPMD
+            # (identical plan on every process — the bookkeeping is built
+            # from the same deterministic add_batch calls) and only misses
+            # flow through the batcher; cold batches are adopted in place.
+            # Adopted slots keep the batcher's semantics exactly, including
+            # zero slots for failed groundings (inert under the
+            # valid-weighted step, like every cold epoch).
             def batch_iter():
-                for b in DistributedBatcher(
+                stream_order = order.tolist()
+                n_stored_batches = 0
+                if entry_store is not None:
+                    stored, stream_order = entry_store.plan_batches(
+                        stream_order, cfg.batch_videos)
+                    for idxs in stored:  # SPMD gather: indices only
+                        with timer("store_gather"):
+                            batch = entry_store.gather(idxs)
+                        if batch is None:  # defensive: plan/store drift
+                            stream_order.extend(idxs)
+                            continue
+                        n_stored_batches += 1
+                        yield cfg.batch_videos, batch
+                for chunk, b in DistributedBatcher(
                         lambda idx: ground(ds_train, int(idx), True),
-                        order.tolist(), cfg.batch_videos, mesh,
+                        stream_order, cfg.batch_videos, mesh,
                         feat_dim=cfg.feat_dim,
                         zero_union=union_provider is None,
                         rel_bf16=cfg.dtype == "bfloat16",
                         num_workers=cfg.num_workers,
-                        device_masks=cfg.device_spatial_masks):
+                        device_masks=cfg.device_spatial_masks,
+                        yield_indices=True):
+                    if entry_store is not None and not entry_store.overflow:
+                        with timer("store_build"):
+                            entry_store.add_batch(chunk, b)
                     yield cfg.batch_videos, b
+                if entry_store is not None and (n_stored_batches
+                                                or entry_store.overflow):
+                    logger.info(
+                        f"device entry store: {n_stored_batches} gathered "
+                        f"batches this epoch, {entry_store.bytes / 1e9:.2f} "
+                        f"GB resident"
+                        + (", over budget — remainder streams"
+                           if entry_store.overflow else ""))
         else:
             def batch_iter():
                 stream_order = order.tolist()
