@@ -95,6 +95,7 @@ def _run_job(mode: str, tmp_path, nproc: int, devices_per_proc: int,
         return [json.load(open(o)) for o in outs]
 
 
+@pytest.mark.xdist_group("multiproc")
 def test_allgather_and_merge_two_process(tmp_path):
     """allgather_obj returns every process's object in rank order, and
     merge_evaluators leaves all processes with the concatenated lists."""
@@ -159,6 +160,7 @@ def test_batcher_rejects_bad_batch_size():
 
 
 @pytest.mark.slow
+@pytest.mark.xdist_group("multiproc")
 def test_two_process_cli_training(tmp_path):
     """Full tools/train_STTran.py run as a 2-process jax.distributed job on
     the shared micro AG dataset: global batches, Orbax multi-controller
@@ -220,6 +222,7 @@ def test_two_process_cli_training(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.xdist_group("multiproc")
 def test_two_process_train_step_matches_single(tmp_path):
     """2 processes x 2 devices == 1 process x 4 devices, same global mesh:
     the train losses and final parameter digest must agree (identical SPMD
@@ -236,6 +239,7 @@ def test_two_process_train_step_matches_single(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.xdist_group("multiproc")
 def test_two_process_device_store(tmp_path):
     """Multi-controller device entry store (r5): both processes compute the
     IDENTICAL shard-balanced plan, their SPMD gathers match the host-side
@@ -255,6 +259,7 @@ def test_two_process_device_store(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.xdist_group("multiproc")
 def test_two_process_model_parallel_matches_single(tmp_path):
     """Same cross-controller parity on a (data=2, model=2) mesh: wide Dense
     kernels shard over 'model' across the process boundary, the video batch
