@@ -124,9 +124,14 @@ def mode_store(out_path: str) -> None:
     from nl_vsgg_tpu.train import (create_train_state, make_optimizer,
                                    make_train_step)
 
+    # two buckets (16 for videos 0-3, 32 for 4-7): the batcher agrees a
+    # different padded shape per cold batch, so the store's cross-process
+    # bookkeeping must track per-bucket shard rows
     es = [make_synthetic_entry(np.random.default_rng(200 + i), n_frames=3,
-                               objs_per_frame=2, bucket_boxes=16,
-                               bucket_rels=16, feat_dim=32) for i in range(8)]
+                               objs_per_frame=2,
+                               bucket_boxes=16 if i < 4 else 32,
+                               bucket_rels=16 if i < 4 else 32,
+                               feat_dim=32) for i in range(8)]
     ground = lambda i: None if i == 5 else es[i]  # one failed slot
     mesh = make_mesh(data=jax.device_count(), model=1)
     store = DeviceEntryStore(mesh=mesh)
@@ -138,6 +143,8 @@ def mode_store(out_path: str) -> None:
     order = [6, 1, 4, 3, 0, 7, 5, 2]  # same warm shuffle on every process
     batches, misses = store.plan_batches(order, 4)
     assert not misses and len(batches) == 2, (batches, misses)
+    for idxs in batches:  # plan never mixes buckets inside one batch
+        assert len({i < 4 for i in idxs}) == 1, batches
 
     digest_fn = jax.jit(lambda e: sum(
         jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(e)))
